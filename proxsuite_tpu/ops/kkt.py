@@ -1,0 +1,249 @@
+"""KKT linear-system backend: masked Schur-complement Cholesky.
+
+TPU-native replacement for the reference's LDLT-with-rank-updates machinery
+(/root/reference/include/proxsuite/linalg/dense/ldlt.hpp:164-828 and
+proxqp/dense/solver.hpp:40-232). The reference keeps an LDLT factor of the
+quasi-definite KKT
+
+    K = [ H + rho I   A^T        C_J^T     ]
+        [ A          -mu_eq I    0         ]
+        [ C_J         0         -mu_in I   ]
+
+and mutates it on every active-set / mu change (insert/delete columns, rank
+updates) -- serial, dynamically shaped, TPU-hostile. Here we exploit the
+2x2 block structure instead:
+
+    P  = H + rho I                        (SPD, factored ONCE per solve)
+    S  = D_mu + W P^-1 W^T                (m x m SPD, W = [A; M C])
+
+with M a 0/1 diagonal active-set mask. Because masking C rows is a row
+scaling, W P^-1 W^T = [[Kaa, Kac M],[M Kca, M Kcc M]] where
+Kaa = A P^-1 A^T, Kac = A P^-1 C^T, Kcc = C P^-1 C^T are Gram blocks
+precomputed at factorization time. Per Newton step the only factorization
+work is one Cholesky of S -- a dense MXU-friendly kernel -- and active-set
+changes / mu updates cost *nothing* (they only re-mask S's assembly).
+
+Solves are wrapped in iterative refinement against the full (masked) KKT
+operator, mirroring reference iterative_solve_with_permut_fact
+(dense/solver.hpp:406-541) including its 2-strike stagnation detection.
+The reference's "refactorize on large residual" fallback (solver.hpp:474)
+is unnecessary here: our factors never accumulate rank-update drift because
+they are rebuilt fresh each step.
+
+Fast paths (reference settings.hpp:40-46, benchmark/timings-lp.cpp,
+timings-diagonal-hessian.cpp):
+  * HessianType.Zero:      P = rho I      -> P^-1 is a scalar multiply.
+  * HessianType.Diagonal:  P = diag(H)+rho -> P^-1 is a vector multiply.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..types import HessianType, ProblemSpec, Settings, infty_norm
+
+
+class KKTFactors(NamedTuple):
+    """Per-solve factorization state (constant while rho is constant)."""
+
+    L_P: jax.Array        # (n, n) Cholesky factor of P (dummy for Zero/Diagonal)
+    P_inv_diag: jax.Array  # (n,) 1/diag(P) for Zero/Diagonal paths (dummy otherwise)
+    K_aa: jax.Array       # (n_eq, n_eq) = A P^-1 A^T
+    K_ac: jax.Array       # (n_eq, n_c)  = A P^-1 C^T
+    K_cc: jax.Array       # (n_c, n_c)   = C P^-1 C^T
+
+
+class KKTOperand(NamedTuple):
+    """Matrices defining the (scaled) KKT operator."""
+
+    H: jax.Array
+    A: jax.Array
+    C: jax.Array  # extended: generic + box rows
+
+
+def _p_solve(spec: ProblemSpec, f: KKTFactors, r: jax.Array) -> jax.Array:
+    """x = P^-1 r."""
+    if spec.hessian_type == HessianType.Dense:
+        y = lax.linalg.triangular_solve(
+            f.L_P, r, left_side=True, lower=True, transpose_a=False)
+        return lax.linalg.triangular_solve(
+            f.L_P, y, left_side=True, lower=True, transpose_a=True)
+    return f.P_inv_diag * r
+
+
+def factorize(
+    spec: ProblemSpec,
+    op: KKTOperand,
+    rho: jax.Array,
+) -> KKTFactors:
+    """Factor P = H + rho I and precompute the Gram blocks.
+
+    Counterpart of reference setup_factorization (dense/helpers.hpp:239-285),
+    but done once per solve: mu and the active set do not enter the factors.
+    """
+    n = spec.n
+    dtype = op.H.dtype
+    if spec.hessian_type == HessianType.Dense:
+        P = op.H + rho * jnp.eye(n, dtype=dtype)
+        L_P = lax.linalg.cholesky(P)
+        # Y = L^-1 [A^T C^T]  ->  Gram blocks = Y^T Y split into quadrants.
+        ACt = jnp.concatenate([op.A.T, op.C.T], axis=1)  # (n, m)
+        Y = lax.linalg.triangular_solve(
+            L_P, ACt, left_side=True, lower=True, transpose_a=False)
+        G = Y.T @ Y
+        P_inv_diag = jnp.zeros((n,), dtype)
+    else:
+        if spec.hessian_type == HessianType.Zero:
+            pdiag = jnp.full((n,), 1.0, dtype) * rho
+        else:  # Diagonal
+            pdiag = jnp.diagonal(op.H) + rho
+        P_inv_diag = 1.0 / pdiag
+        ACt = jnp.concatenate([op.A.T, op.C.T], axis=1)
+        G = ACt.T @ (P_inv_diag[:, None] * ACt)
+        L_P = jnp.zeros((n, n), dtype)
+    n_eq = spec.n_eq
+    return KKTFactors(
+        L_P=L_P,
+        P_inv_diag=P_inv_diag,
+        K_aa=G[:n_eq, :n_eq],
+        K_ac=G[:n_eq, n_eq:],
+        K_cc=G[n_eq:, n_eq:],
+    )
+
+
+class NewtonSystem(NamedTuple):
+    """Per-Newton-step factored system: masked Schur complement."""
+
+    L_S: jax.Array      # (m, m) Cholesky of S
+    mask: jax.Array     # (n_c,) active-set mask as dtype 0/1
+    mu_eq: jax.Array
+    mu_in: jax.Array
+
+
+def build_newton_system(
+    spec: ProblemSpec,
+    f: KKTFactors,
+    mask: jax.Array,
+    mu_eq: jax.Array,
+    mu_in: jax.Array,
+) -> NewtonSystem:
+    """Assemble and factor S = D_mu + W P^-1 W^T with the active-set mask.
+
+    Inactive rows reduce to the decoupled equation -mu_in dz_i = rhs_i,
+    the same fixed-shape trick the reference sparse backend uses for its
+    inactive rows (sparse/workspace.hpp:78-81) -- but here it is free.
+    """
+    dtype = f.K_cc.dtype
+    m = spec.n_eq + spec.n_c
+    mk = mask.astype(dtype)
+    S_aa = f.K_aa + mu_eq * jnp.eye(spec.n_eq, dtype=dtype)
+    S_ac = f.K_ac * mk[None, :]
+    S_cc = mk[:, None] * f.K_cc * mk[None, :] + mu_in * jnp.eye(spec.n_c, dtype=dtype)
+    S = jnp.block([[S_aa, S_ac], [S_ac.T, S_cc]]) if m > 0 else jnp.zeros((0, 0), dtype)
+    L_S = lax.linalg.cholesky(S)
+    return NewtonSystem(L_S=L_S, mask=mk, mu_eq=mu_eq, mu_in=mu_in)
+
+
+def _s_solve(sys: NewtonSystem, r: jax.Array) -> jax.Array:
+    y = lax.linalg.triangular_solve(
+        sys.L_S, r, left_side=True, lower=True, transpose_a=False)
+    return lax.linalg.triangular_solve(
+        sys.L_S, y, left_side=True, lower=True, transpose_a=True)
+
+
+def kkt_apply_inverse(
+    spec: ProblemSpec,
+    f: KKTFactors,
+    op: KKTOperand,
+    sys: NewtonSystem,
+    r1: jax.Array,
+    r2: jax.Array,
+    r3: jax.Array,
+):
+    """Solve the masked KKT system via block elimination.
+
+    [P    W^T ] [dx]   [r1]        S dw = W P^-1 r1 - [r2; r3]
+    [W   -D_mu] [dw] = [r2;r3] ,   dx   = P^-1 (r1 - W^T dw)
+    """
+    p1 = _p_solve(spec, f, r1)
+    t = jnp.concatenate([op.A @ p1 - r2, sys.mask * (op.C @ p1) - r3])
+    dw = _s_solve(sys, t)
+    dy, dz = dw[: spec.n_eq], dw[spec.n_eq:]
+    rhs_x = r1 - op.A.T @ dy - op.C.T @ (sys.mask * dz)
+    dx = _p_solve(spec, f, rhs_x)
+    return dx, dy, dz
+
+
+def kkt_residual(
+    spec: ProblemSpec,
+    op: KKTOperand,
+    sys: NewtonSystem,
+    rho: jax.Array,
+    dx: jax.Array,
+    dy: jax.Array,
+    dz: jax.Array,
+    r1: jax.Array,
+    r2: jax.Array,
+    r3: jax.Array,
+):
+    """rhs - K_masked @ dw (reference iterative_residual, solver.hpp:243-318)."""
+    if spec.hessian_type == HessianType.Zero:
+        Hdx = jnp.zeros_like(dx)
+    elif spec.hessian_type == HessianType.Diagonal:
+        Hdx = jnp.diagonal(op.H) * dx
+    else:
+        Hdx = op.H @ dx
+    err1 = r1 - Hdx - rho * dx - op.A.T @ dy - op.C.T @ (sys.mask * dz)
+    err2 = r2 - (op.A @ dx - sys.mu_eq * dy)
+    # active rows: r3 - (C dx - mu_in dz); inactive rows: r3 + mu_in dz
+    err3 = r3 - (sys.mask * (op.C @ dx) - sys.mu_in * dz)
+    return err1, err2, err3
+
+
+def solve_with_refinement(
+    spec: ProblemSpec,
+    settings: Settings,
+    f: KKTFactors,
+    op: KKTOperand,
+    sys: NewtonSystem,
+    rho: jax.Array,
+    r1: jax.Array,
+    r2: jax.Array,
+    r3: jax.Array,
+    eps: jax.Array,
+):
+    """Iterative refinement around the Schur solve.
+
+    Mirrors reference iterative_solve_with_permut_fact (solver.hpp:406-541):
+    refine while the KKT residual exceeds eps, up to nb_iterative_refinement
+    corrections, with a two-strike stagnation break. No refactorization
+    fallback (see module docstring). Returns (dx, dy, dz, final_err).
+    """
+    dx, dy, dz = kkt_apply_inverse(spec, f, op, sys, r1, r2, r3)
+    e1, e2, e3 = kkt_residual(spec, op, sys, rho, dx, dy, dz, r1, r2, r3)
+    err = jnp.maximum(jnp.maximum(infty_norm(e1), infty_norm(e2)), infty_norm(e3))
+
+    def cond(carry):
+        dx, dy, dz, e1, e2, e3, err, preverr, it, strikes = carry
+        return jnp.logical_and(
+            err >= eps,
+            jnp.logical_and(it < settings.nb_iterative_refinement, strikes < 2),
+        )
+
+    def body(carry):
+        dx, dy, dz, e1, e2, e3, err, preverr, it, strikes = carry
+        cx, cy, cz = kkt_apply_inverse(spec, f, op, sys, e1, e2, e3)
+        dx, dy, dz = dx + cx, dy + cy, dz + cz
+        e1, e2, e3 = kkt_residual(spec, op, sys, rho, dx, dy, dz, r1, r2, r3)
+        new_err = jnp.maximum(
+            jnp.maximum(infty_norm(e1), infty_norm(e2)), infty_norm(e3))
+        strikes = jnp.where(new_err > err, strikes + 1, 0)
+        return dx, dy, dz, e1, e2, e3, new_err, err, it + 1, strikes
+
+    carry = (dx, dy, dz, e1, e2, e3, err, err,
+             jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32))
+    dx, dy, dz, _, _, _, err, _, _, _ = lax.while_loop(cond, body, carry)
+    return dx, dy, dz, err

@@ -1,0 +1,157 @@
+"""Batched QP solving: vmap on one chip, shard_map across a device mesh.
+
+TPU-native counterpart of the reference OpenMP batch layer
+(/root/reference/include/proxsuite/proxqp/parallel/qp_solve.hpp:17-185,
+omp.hpp:11-17): there, independent QPs run under
+`#pragma omp parallel for schedule(dynamic)`. Here a batch of same-shape
+QPs becomes ONE batched XLA program via `jax.vmap` -- every Cholesky,
+triangular solve and matvec turns into a batched MXU kernel -- and scales
+across chips with `shard_map` over the batch axis of a `jax.sharding.Mesh`
+(problems are independent, so there is zero cross-chip communication in the
+solve itself; only dispatch/gather, the same reason the reference gets away
+with a parallel-for).
+
+Convergence divergence across the batch is handled by the per-lane `done`
+flags inside the solver: a batched while_loop runs until every lane of a
+chunk converges, finished lanes frozen. `chunk_size` bounds the straggler
+effect (and peak memory) for very large batches.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..api import build_scaled_qp, solve_scaled
+from ..types import ProblemSpec, Results, Settings
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _solve_batch_jit(spec: ProblemSpec, settings: Settings,
+                     H, g, A, b, C, u, l, u_box, l_box) -> Results:
+    def one(H, g, A, b, C, u, l, u_box, l_box):
+        qp = build_scaled_qp(
+            spec, settings, H, g, A, b, C, u, l, u_box, l_box,
+            execute_preconditioner=settings.compute_preconditioner)
+        return solve_scaled(spec, settings, qp)
+
+    return jax.vmap(one)(H, g, A, b, C, u, l, u_box, l_box)
+
+
+def _batch_arrays(spec: ProblemSpec, H, g, A, b, C, u, l, u_box, l_box, dtype):
+    bsz = g.shape[0]
+    H = jnp.asarray(H, dtype)
+    g = jnp.asarray(g, dtype)
+    A = (jnp.zeros((bsz, 0, spec.n), dtype) if A is None
+         else jnp.asarray(A, dtype))
+    b = (jnp.zeros((bsz, 0), dtype) if b is None else jnp.asarray(b, dtype))
+    C = (jnp.zeros((bsz, 0, spec.n), dtype) if C is None
+         else jnp.asarray(C, dtype))
+    u = (jnp.zeros((bsz, 0), dtype) if u is None else jnp.asarray(u, dtype))
+    l = (jnp.zeros((bsz, 0), dtype) if l is None else jnp.asarray(l, dtype))
+    if spec.box_constraints:
+        u_box = jnp.asarray(u_box, dtype)
+        l_box = jnp.asarray(l_box, dtype)
+    else:
+        u_box = jnp.zeros((bsz, 0), dtype)
+        l_box = jnp.zeros((bsz, 0), dtype)
+    return H, g, A, b, C, u, l, u_box, l_box
+
+
+def solve_in_parallel(
+    H, g, A=None, b=None, C=None, u=None, l=None,
+    u_box=None, l_box=None,
+    *,
+    settings: Optional[Settings] = None,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = "batch",
+    chunk_size: Optional[int] = None,
+    **overrides,
+) -> Results:
+    """Solve a batch of same-shape dense QPs.
+
+    Arrays are stacked along a leading batch axis. With `mesh`, the batch is
+    sharded over `mesh.shape[axis_name]` devices (must divide the batch
+    size); without, everything runs on the default device. `chunk_size`
+    splits giant batches into sequential chunks to bound memory and
+    straggler waste. Counterpart of reference dense::solve_in_parallel
+    (parallel/qp_solve.hpp:64-82).
+    """
+    settings = settings or Settings()
+    if overrides:
+        settings = settings.replace(**overrides)
+    g = jnp.asarray(g)
+    dtype = g.dtype
+    bsz, n = g.shape
+    n_eq = 0 if A is None else np.shape(A)[1]
+    n_in = 0 if C is None else np.shape(C)[1]
+    box = u_box is not None or l_box is not None
+    spec = ProblemSpec(n=n, n_eq=n_eq, n_in=n_in, box_constraints=box)
+    arrays = _batch_arrays(spec, H, g, A, b, C, u, l, u_box, l_box, dtype)
+
+    if mesh is not None:
+        n_dev = mesh.shape[axis_name]
+        if bsz % n_dev != 0:
+            raise ValueError(
+                f"batch size {bsz} must divide the mesh axis {axis_name}={n_dev}")
+        sharding = NamedSharding(mesh, P(axis_name))
+        arrays = tuple(jax.device_put(a, sharding) for a in arrays)
+
+    if chunk_size is None or bsz <= chunk_size:
+        return _solve_batch_jit(spec, settings, *arrays)
+
+    outs = []
+    for lo in range(0, bsz, chunk_size):
+        chunk = tuple(a[lo: lo + chunk_size] for a in arrays)
+        outs.append(_solve_batch_jit(spec, settings, *chunk))
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+
+
+class BatchQP:
+    """Arena of same-shape QPs (reference dense::BatchQP,
+    wrapper.hpp:1252-1311): accumulate problems, solve them as one batch."""
+
+    def __init__(self, n: int, n_eq: int, n_in: int,
+                 box_constraints: bool = False,
+                 settings: Optional[Settings] = None,
+                 dtype=jnp.float64):
+        self.spec = ProblemSpec(n=n, n_eq=n_eq, n_in=n_in,
+                                box_constraints=box_constraints)
+        self.settings = settings or Settings()
+        self.dtype = dtype
+        self._problems = []
+        self.results: Optional[Results] = None
+
+    def init_qp_in_place(self, H, g, A=None, b=None, C=None, l=None, u=None,
+                         l_box=None, u_box=None):
+        self._problems.append((H, g, A, b, C, u, l, u_box, l_box))
+
+    def __len__(self):
+        return len(self._problems)
+
+    def solve(self, mesh: Optional[Mesh] = None,
+              chunk_size: Optional[int] = None) -> Results:
+        def stack(idx, zero_shape):
+            vals = [p[idx] for p in self._problems]
+            if vals[0] is None:
+                return np.zeros((len(vals),) + zero_shape)
+            return np.stack([np.asarray(v) for v in vals])
+
+        spec = self.spec
+        H = stack(0, (spec.n, spec.n))
+        g = stack(1, (spec.n,))
+        A = stack(2, (spec.n_eq, spec.n))
+        b = stack(3, (spec.n_eq,))
+        C = stack(4, (spec.n_in, spec.n))
+        u = stack(5, (spec.n_in,))
+        l = stack(6, (spec.n_in,))
+        u_box = stack(7, (spec.n,)) if spec.box_constraints else None
+        l_box = stack(8, (spec.n,)) if spec.box_constraints else None
+        self.results = solve_in_parallel(
+            H, g, A, b, C, u, l, u_box, l_box,
+            settings=self.settings, mesh=mesh, chunk_size=chunk_size)
+        return self.results

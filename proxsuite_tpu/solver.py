@@ -1,0 +1,503 @@
+"""ProxQP algorithm core: BCL outer loop + semismooth Newton inner loop.
+
+TPU-native re-implementation of the reference dense solver
+(/root/reference/include/proxsuite/proxqp/dense/solver.hpp:1088-1843 qp_solve,
+:884-1077 primal_dual_newton_semi_smooth, :756-869 newton step, :566-677 BCL /
+Martinez updates). Everything is fixed-shape `lax.while_loop` state so the
+whole solve jits, vmaps over problem batches, and shard_maps over device
+meshes. Per-lane "done" flags freeze converged problems under vmap.
+
+Solved in scaled space (Ruiz), same sequencing as the reference:
+
+    outer k:  residuals -> convergence -> save prevs -> seed shifted
+              residuals -> inner semismooth Newton (while err_in > eta_in)
+              -> infeasibility handling -> BCL/Martinez penalty update
+              -> cold restart -> mu update (free here: factors don't
+              depend on mu, see ops/kkt.py).
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .ops import kkt
+from .ops.kkt import KKTFactors, KKTOperand
+from .ops.linesearch import LinesearchOperand, primal_dual_linesearch
+from .ops.residuals import (
+    ScaledQP,
+    dual_infeasibility_certificate,
+    global_dual_residual,
+    global_primal_residual,
+    primal_infeasibility_certificate,
+    unscale_x,
+    unscale_y,
+    unscale_z,
+)
+from .types import (
+    HessianType,
+    Info,
+    MeritFunctionType,
+    ProblemSpec,
+    QPSolverOutput,
+    Results,
+    Settings,
+    infty_norm,
+    negative_part,
+    positive_part,
+)
+
+
+def _merit_factor(settings: Settings) -> float:
+    """mu_in multiplier in the shifted residuals: alpha_gpdal for GPDAL, 1
+    for PDAL (reference solver.hpp:1536-1543, :699-728)."""
+    if settings.merit_function_type == MeritFunctionType.GPDAL:
+        return settings.alpha_gpdal
+    return 1.0
+
+
+def _small_step_tol(dtype) -> float:
+    """Reference uses 1e-11 (f64) for the stalled-step break
+    (solver.hpp:973); scaled to f32 precision when running single."""
+    return 1e-11 if jnp.finfo(dtype).bits >= 64 else 1e-6
+
+
+def _hdx(spec: ProblemSpec, qp: ScaledQP, dx):
+    if spec.hessian_type == HessianType.Zero:
+        return jnp.zeros_like(dx)
+    if spec.hessian_type == HessianType.Diagonal:
+        return jnp.diagonal(qp.H) * dx
+    return qp.H @ dx
+
+
+class InnerState(NamedTuple):
+    x: jax.Array
+    y: jax.Array
+    z: jax.Array
+    ru: jax.Array        # C x - u + fac*mu_in*z_prev (scaled)
+    rl: jax.Array        # C x - l + fac*mu_in*z_prev (scaled)
+    se: jax.Array        # A x - b + mu_eq (y_prev - y) (scaled)
+    dual_res: jax.Array  # H x + rho (x - x_prev) + A^T y + C^T z (scaled)
+    active_up: jax.Array
+    active_low: jax.Array
+    dx: jax.Array
+    dy: jax.Array
+    dz: jax.Array
+    err_in: jax.Array
+    lin_err: jax.Array
+    k: jax.Array         # body runs completed
+    iters_add: jax.Array # iteration count to add on break (reference +iter+1)
+    status: jax.Array
+    done: jax.Array
+
+
+def inner_newton(
+    spec: ProblemSpec,
+    settings: Settings,
+    qp: ScaledQP,
+    factors: KKTFactors,
+    op: KKTOperand,
+    x, y, z, ru, rl, se, dual_res,
+    x_prev,
+    rho, mu_eq, mu_in,
+    eps_int,
+    status,
+    skip,
+) -> InnerState:
+    """Reference primal_dual_newton_semi_smooth (solver.hpp:882-1077)."""
+    dtype = x.dtype
+    fac = _merit_factor(settings)
+    small_tol = _small_step_tol(dtype)
+    gpdal = settings.merit_function_type == MeritFunctionType.GPDAL
+
+    def body(s: InnerState) -> InnerState:
+        # --- active set from shifted residuals (solver.hpp:773-778) ---
+        up = s.ru >= 0
+        low = s.rl <= 0
+        active = jnp.logical_or(up, low)
+        inactive = jnp.logical_not(active)
+
+        # --- rhs assembly (solver.hpp:787-847) ---
+        rhs_x = -s.dual_res + qp.C.T @ jnp.where(inactive, s.z, 0.0)
+        rhs_y = -s.se
+        shift = s.z * mu_in * fac
+        rhs_z = jnp.where(up, -s.ru + shift, jnp.where(low, -s.rl + shift, 0.0))
+
+        # --- masked KKT solve with iterative refinement ---
+        sys = kkt.build_newton_system(spec, factors, active, mu_eq, mu_in)
+        dx, dy, dzJ, lin_err = kkt.solve_with_refinement(
+            spec, settings, factors, op, sys, rho, rhs_x, rhs_y, rhs_z, eps_int)
+        # inactive multipliers step to zero (solver.hpp:860-868)
+        dz = jnp.where(active, dzJ, -s.z)
+
+        # --- directional products ---
+        Hdx = _hdx(spec, qp, dx)
+        Adx = qp.A @ dx
+        ATdy = qp.A.T @ dy
+        Cdx = qp.C @ dx
+        CTdz = qp.C.T @ dz
+        if gpdal:
+            Cdx = Cdx + (settings.alpha_gpdal - 1.0) * mu_in * dz
+
+        # --- exact linesearch (solver.hpp:968-971) ---
+        if spec.n_c > 0:
+            alpha = primal_dual_linesearch(settings, LinesearchOperand(
+                x=s.x, x_prev=x_prev, y=s.y, z=s.z, se=s.se, ru=s.ru, rl=s.rl,
+                g=qp.g, dx=dx, dy=dy, dz=dz, Hdx=Hdx, Adx=Adx, Cdx=Cdx,
+                rho=rho, mu_eq=mu_eq, mu_in=mu_in))
+        else:
+            alpha = jnp.asarray(1.0, dtype)
+
+        # --- stalled step break (solver.hpp:973-983), no state update ---
+        step_norm = jnp.maximum(
+            jnp.maximum(infty_norm(alpha * dx), infty_norm(alpha * dy)),
+            infty_norm(alpha * dz))
+        small = jnp.logical_and(step_norm < small_tol, s.k > 0)
+
+        # --- iterate update (solver.hpp:984-1009) ---
+        x_n = s.x + alpha * dx
+        ru_n = s.ru + alpha * Cdx
+        rl_n = s.rl + alpha * Cdx
+        se_n = s.se + alpha * (Adx - mu_eq * dy)
+        y_n = s.y + alpha * dy
+        z_n = s.z + alpha * dz
+        dual_res_n = s.dual_res + alpha * (rho * dx + Hdx + ATdy + CTdz)
+
+        # --- inner stopping criterion (solver.hpp:687-743) ---
+        w = positive_part(ru_n) + negative_part(rl_n) - fac * mu_in * z_n
+        err_in = jnp.maximum(
+            jnp.maximum(infty_norm(w), infty_norm(se_n)),
+            infty_norm(dual_res_n))
+
+        # --- infeasibility certificates (solver.hpp:1028-1063) ---
+        check = jnp.logical_or(
+            s.k % settings.frequence_infeasibility_check == 0,
+            settings.primal_infeasibility_solving)
+        is_prim_inf = jnp.logical_and(check, primal_infeasibility_certificate(
+            spec, settings, qp, ATdy, CTdz, dy, dz))
+        is_dual_inf = jnp.logical_and(
+            jnp.logical_and(check, jnp.logical_not(is_prim_inf)),
+            dual_infeasibility_certificate(spec, settings, qp, Adx, Cdx, Hdx, dx))
+
+        status_n = jnp.where(
+            is_prim_inf,
+            jnp.asarray(int(QPSolverOutput.PROXQP_PRIMAL_INFEASIBLE), s.status.dtype),
+            jnp.where(
+                is_dual_inf,
+                jnp.asarray(int(QPSolverOutput.PROXQP_DUAL_INFEASIBLE), s.status.dtype),
+                s.status))
+        break_inf = jnp.logical_or(
+            jnp.logical_and(is_prim_inf,
+                            not settings.primal_infeasibility_solving),
+            is_dual_inf)
+        converged = err_in <= eps_int
+
+        done_n = jnp.logical_or(jnp.logical_or(small, break_inf), converged)
+        iters_add = jnp.where(
+            jnp.logical_and(done_n, jnp.logical_not(s.done)), s.k + 1, s.iters_add)
+
+        # freeze the iterate on the stalled-step break (reference breaks
+        # before applying the update)
+        keep = small
+
+        def sel(new, old):
+            return jnp.where(keep, old, new)
+
+        return InnerState(
+            x=sel(x_n, s.x), y=sel(y_n, s.y), z=sel(z_n, s.z),
+            ru=sel(ru_n, s.ru), rl=sel(rl_n, s.rl), se=sel(se_n, s.se),
+            dual_res=sel(dual_res_n, s.dual_res),
+            active_up=up, active_low=low,
+            dx=dx, dy=dy, dz=dz,
+            err_in=sel(err_in, s.err_in), lin_err=lin_err,
+            k=s.k + 1, iters_add=iters_add, status=status_n, done=done_n)
+
+    init = InnerState(
+        x=x, y=y, z=z, ru=ru, rl=rl, se=se, dual_res=dual_res,
+        active_up=jnp.zeros((spec.n_c,), bool),
+        active_low=jnp.zeros((spec.n_c,), bool),
+        dx=jnp.zeros_like(x), dy=jnp.zeros_like(y), dz=jnp.zeros_like(z),
+        err_in=jnp.asarray(1e6, dtype), lin_err=jnp.asarray(0.0, dtype),
+        k=jnp.asarray(0, jnp.int32),
+        iters_add=jnp.asarray(settings.max_iter_in + 1, jnp.int32),
+        status=status, done=skip)
+
+    def cond(s: InnerState):
+        return jnp.logical_and(
+            jnp.logical_not(s.done), s.k < settings.max_iter_in)
+
+    return lax.while_loop(cond, body, init)
+
+
+class OuterState(NamedTuple):
+    x: jax.Array
+    y: jax.Array
+    z: jax.Array
+    active_up: jax.Array
+    active_low: jax.Array
+    mu_eq: jax.Array
+    mu_in: jax.Array
+    bcl_eta_ext: jax.Array
+    bcl_eta_in: jax.Array
+    scaled_eps: jax.Array
+    status: jax.Array
+    done: jax.Array
+    k: jax.Array          # outer iterations started
+    iter: jax.Array       # total inner iterations (reference info.iter)
+    iter_ext: jax.Array
+    mu_updates: jax.Array
+    pri_res: jax.Array
+    dua_res: jax.Array
+    duality_gap: jax.Array
+    lin_err: jax.Array
+    se_out: jax.Array
+    si_out: jax.Array
+
+
+def _tree_select(pred, on_true, on_false):
+    return jax.tree.map(lambda a, b: jnp.where(pred, a, b), on_true, on_false)
+
+
+def qp_solve_core(
+    spec: ProblemSpec,
+    settings: Settings,
+    qp: ScaledQP,
+    x0: jax.Array,
+    y0: jax.Array,
+    z0: jax.Array,
+    rho: jax.Array,
+    mu_eq0: jax.Array,
+    mu_in0: jax.Array,
+    *,
+    eq_init_guess: bool,
+) -> Results:
+    """Solve one (scaled) QP. Returns unscaled Results.
+
+    x0/y0/z0 are scaled warm-start values (zeros for a cold start);
+    eq_init_guess runs the equality-constrained initial guess
+    (reference helpers.hpp:199-228) before the outer loop.
+    """
+    dtype = qp.H.dtype
+    n, n_eq, n_c = spec.n, spec.n_eq, spec.n_c
+    fac = _merit_factor(settings)
+
+    op = KKTOperand(H=qp.H, A=qp.A, C=qp.C)
+    factors = kkt.factorize(spec, op, rho)
+
+    x, y, z = x0, y0, z0
+    if eq_init_guess:
+        sys0 = kkt.build_newton_system(
+            spec, factors, jnp.zeros((n_c,), bool), mu_eq0, mu_in0)
+        gx, gy, _, _ = kkt.solve_with_refinement(
+            spec, settings, factors, op, sys0, rho,
+            -qp.g, qp.b, jnp.zeros((n_c,), dtype),
+            jnp.asarray(1.0, dtype))
+        x, y = gx, gy
+
+    g_un_norm = infty_norm(qp.g / (qp.delta_x * qp.c))  # dual_feasibility_rhs_2
+    eps_in_min = min(settings.eps_abs, 1e-9)
+    bcl_eta_ext_init = 0.1 ** settings.alpha_bcl
+
+    def gap_ok(gap, rhs_gap):
+        if not settings.check_duality_gap:
+            return jnp.asarray(True)
+        return jnp.abs(gap) <= (settings.eps_duality_gap_abs
+                                + settings.eps_duality_gap_rel * rhs_gap)
+
+    def solved_status(status):
+        closest = jnp.logical_and(
+            settings.primal_infeasibility_solving,
+            status == int(QPSolverOutput.PROXQP_PRIMAL_INFEASIBLE))
+        return jnp.where(
+            closest,
+            jnp.asarray(int(QPSolverOutput.PROXQP_SOLVED_CLOSEST_PRIMAL_FEASIBLE),
+                        status.dtype),
+            jnp.asarray(int(QPSolverOutput.PROXQP_SOLVED), status.dtype))
+
+    def body(s: OuterState) -> OuterState:
+        is_pinf = s.status == int(QPSolverOutput.PROXQP_PRIMAL_INFEASIBLE)
+
+        # ---- top-of-iteration residuals (solver.hpp:1397-1429) ----
+        pr = global_primal_residual(spec, settings, qp, s.x, is_pinf)
+        dr = global_dual_residual(
+            spec, qp, s.x, s.y, s.z, s.active_up, s.active_low)
+
+        rhs_pri = s.scaled_eps + settings.eps_rel * jnp.maximum(
+            pr.eq_rhs_0, pr.in_rhs_0)
+        rhs_dua = settings.eps_abs + settings.eps_rel * jnp.maximum(
+            jnp.maximum(dr.rhs_3, dr.rhs_0), jnp.maximum(dr.rhs_1, g_un_norm))
+        feas = jnp.logical_and(pr.pri_lhs <= rhs_pri, dr.dua_lhs <= rhs_dua)
+        solved_now = jnp.logical_and(
+            feas, gap_ok(dr.duality_gap, dr.rhs_duality_gap))
+
+        top = s._replace(
+            pri_res=pr.pri_lhs, dua_res=dr.dua_lhs,
+            duality_gap=dr.duality_gap,
+            se_out=pr.se_out, si_out=pr.si_out)
+        solved_state = top._replace(
+            status=solved_status(s.status), done=jnp.asarray(True))
+
+        # ---- not converged: run an inner loop ----
+        x_prev, y_prev, z_prev = s.x, s.y, s.z
+
+        # shifted residuals seeding (solver.hpp:1517-1559)
+        tmp = pr.Cx_unscaled * qp.delta_z + fac * s.mu_in * z_prev
+        ru = tmp - qp.u
+        rl = tmp - qp.l
+        se = pr.se_scaled
+        dual_res = dr.dual_res_scaled
+
+        inner = inner_newton(
+            spec, settings, qp, factors, op,
+            s.x, s.y, s.z, ru, rl, se, dual_res, x_prev,
+            rho, s.mu_eq, s.mu_in, s.bcl_eta_in, s.status,
+            skip=solved_now)
+
+        it_total = s.iter + jnp.where(solved_now, 0, inner.iters_add)
+        status = inner.status
+
+        # ---- infeasibility exit: certificate becomes the solution
+        # (solver.hpp:1572-1580) ----
+        cert_exit = jnp.logical_or(
+            jnp.logical_and(
+                status == int(QPSolverOutput.PROXQP_PRIMAL_INFEASIBLE),
+                not settings.primal_infeasibility_solving),
+            status == int(QPSolverOutput.PROXQP_DUAL_INFEASIBLE))
+
+        # ---- scaled_eps switch for closest-feasible solving
+        # (solver.hpp:1581-1595) ----
+        if settings.primal_infeasibility_solving:
+            ones_eq = jnp.ones((n_eq,), dtype)
+            ones_c = jnp.ones((n_c,), dtype)
+            col = (qp.A.T @ (ones_eq / qp.delta_y)
+                   + qp.C.T @ (ones_c / qp.delta_z)) / qp.delta_x
+            new_scaled_eps = infty_norm(col) * settings.eps_abs
+            trigger = jnp.logical_and(
+                s.scaled_eps == settings.eps_abs,
+                status == int(QPSolverOutput.PROXQP_PRIMAL_INFEASIBLE))
+            scaled_eps = jnp.where(trigger, new_scaled_eps, s.scaled_eps)
+        else:
+            scaled_eps = s.scaled_eps
+
+        # ---- post-inner residuals & early status (solver.hpp:1596-1666) ----
+        is_pinf2 = status == int(QPSolverOutput.PROXQP_PRIMAL_INFEASIBLE)
+        pr2 = global_primal_residual(spec, settings, qp, inner.x, is_pinf2)
+        pri2_ok = pr2.pri_lhs <= (
+            scaled_eps + settings.eps_rel * jnp.maximum(pr2.eq_rhs_0, pr2.in_rhs_0))
+        dr2 = global_dual_residual(
+            spec, qp, inner.x, inner.y, inner.z,
+            inner.active_up, inner.active_low)
+        dua2_ok = dr2.dua_lhs <= (
+            settings.eps_abs + settings.eps_rel * jnp.maximum(
+                jnp.maximum(dr2.rhs_3, dr2.rhs_0), jnp.maximum(dr2.rhs_1, g_un_norm)))
+        solved_post = jnp.logical_and(
+            jnp.logical_and(pri2_ok, dua2_ok),
+            gap_ok(dr2.duality_gap, dr2.rhs_duality_gap))
+        status = jnp.where(
+            jnp.logical_and(solved_post, jnp.logical_not(cert_exit)),
+            solved_status(status), status)
+
+        # ---- BCL / Martinez penalty update (solver.hpp:564-677) ----
+        mu_eq, mu_in = s.mu_eq, s.mu_in
+        shrunk_mu_eq = jnp.maximum(
+            mu_eq * settings.mu_update_factor, settings.mu_min_eq)
+        shrunk_mu_in = jnp.maximum(
+            mu_in * settings.mu_update_factor, settings.mu_min_in)
+        if settings.bcl_update:
+            good = jnp.logical_or(
+                pr2.pri_lhs <= s.bcl_eta_ext, s.k > settings.safe_guard)
+            new_mu_eq = jnp.where(good, mu_eq, shrunk_mu_eq)
+            new_mu_in = jnp.where(good, mu_in, shrunk_mu_in)
+            bcl_eta_ext = jnp.where(
+                good,
+                s.bcl_eta_ext * mu_in ** settings.beta_bcl,
+                bcl_eta_ext_init * new_mu_in ** settings.alpha_bcl)
+            bcl_eta_in = jnp.where(
+                good,
+                jnp.maximum(s.bcl_eta_in * mu_in, eps_in_min),
+                jnp.maximum(new_mu_in, eps_in_min))
+            # bad step restores previous duals (solver.hpp:598-599)
+            y_post = jnp.where(good, inner.y, y_prev)
+            z_post = jnp.where(good, inner.z, z_prev)
+        else:
+            good = pr2.pri_lhs <= 0.95 * pr.pri_lhs
+            new_mu_eq = jnp.where(good, mu_eq, shrunk_mu_eq)
+            new_mu_in = jnp.where(good, mu_in, shrunk_mu_in)
+            bcl_eta_ext = s.bcl_eta_ext
+            bcl_eta_in = jnp.maximum(s.bcl_eta_in * 0.1, eps_in_min)
+            y_post, z_post = inner.y, inner.z
+
+        # ---- cold restart (solver.hpp:1693-1725) ----
+        dr3 = global_dual_residual(
+            spec, qp, inner.x, y_post, z_post,
+            inner.active_up, inner.active_low)
+        cold = jnp.logical_and(
+            jnp.logical_and(pr2.pri_lhs >= pr.pri_lhs, dr3.dua_lhs >= dr.dua_lhs),
+            mu_in <= 1e-5)
+        new_mu_eq = jnp.where(cold, settings.cold_reset_mu_eq, new_mu_eq)
+        new_mu_in = jnp.where(cold, settings.cold_reset_mu_in, new_mu_in)
+        mu_changed = jnp.logical_or(new_mu_eq != mu_eq, new_mu_in != mu_in)
+
+        worked = OuterState(
+            x=jnp.where(cert_exit, inner.dx, inner.x),
+            y=jnp.where(cert_exit, inner.dy, y_post),
+            z=jnp.where(cert_exit, inner.dz, z_post),
+            active_up=inner.active_up, active_low=inner.active_low,
+            mu_eq=new_mu_eq, mu_in=new_mu_in,
+            bcl_eta_ext=bcl_eta_ext, bcl_eta_in=bcl_eta_in,
+            scaled_eps=scaled_eps,
+            status=status, done=cert_exit,
+            k=s.k + 1, iter=it_total, iter_ext=s.iter_ext + 1,
+            mu_updates=s.mu_updates + mu_changed.astype(jnp.int32),
+            pri_res=pr2.pri_lhs,
+            dua_res=jnp.where(pri2_ok, dr2.dua_lhs, dr3.dua_lhs),
+            duality_gap=jnp.where(pri2_ok, dr2.duality_gap, dr3.duality_gap),
+            lin_err=inner.lin_err,
+            se_out=pr2.se_out, si_out=pr2.si_out)
+
+        return _tree_select(solved_now, solved_state, worked)
+
+    init = OuterState(
+        x=x, y=y, z=z,
+        active_up=jnp.zeros((n_c,), bool),
+        active_low=jnp.zeros((n_c,), bool),
+        mu_eq=mu_eq0, mu_in=mu_in0,
+        bcl_eta_ext=jnp.asarray(bcl_eta_ext_init, dtype),
+        bcl_eta_in=jnp.asarray(1.0, dtype),
+        scaled_eps=jnp.asarray(settings.eps_abs, dtype),
+        # MAX_ITER_REACHED until proven otherwise (results.hpp:172)
+        status=jnp.asarray(int(QPSolverOutput.PROXQP_MAX_ITER_REACHED), jnp.int32),
+        done=jnp.asarray(False),
+        k=jnp.asarray(0, jnp.int32),
+        iter=jnp.asarray(0, jnp.int32),
+        iter_ext=jnp.asarray(0, jnp.int32),
+        mu_updates=jnp.asarray(0, jnp.int32),
+        pri_res=jnp.asarray(0.0, dtype),
+        dua_res=jnp.asarray(0.0, dtype),
+        duality_gap=jnp.asarray(0.0, dtype),
+        lin_err=jnp.asarray(0.0, dtype),
+        se_out=jnp.zeros((n_eq,), dtype),
+        si_out=jnp.zeros((n_c,), dtype))
+
+    def cond(s: OuterState):
+        return jnp.logical_and(jnp.logical_not(s.done), s.k < settings.max_iter)
+
+    fin = lax.while_loop(cond, body, init)
+
+    # ---- unscale and package (solver.hpp:1749-1781) ----
+    x_un = unscale_x(qp, fin.x)
+    y_un = unscale_y(qp, fin.y)
+    z_un = unscale_z(qp, fin.z)
+    obj = (0.5 * fin.x @ (qp.H @ fin.x) + qp.g @ fin.x) / qp.c
+    info = Info(
+        mu_eq=fin.mu_eq, mu_in=fin.mu_in, rho=rho,
+        iter=fin.iter, iter_ext=fin.iter_ext,
+        mu_updates=fin.mu_updates, rho_updates=jnp.asarray(0, jnp.int32),
+        status=fin.status, objValue=obj,
+        pri_res=fin.pri_res, dua_res=fin.dua_res,
+        duality_gap=fin.duality_gap, iterative_residual=fin.lin_err,
+        minimal_H_eigenvalue_estimate=jnp.asarray(0.0, dtype))
+    return Results(x=x_un, y=y_un, z=z_un, se=fin.se_out, si=fin.si_out, info=info)

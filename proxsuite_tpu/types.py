@@ -1,0 +1,221 @@
+"""Shared solver types: settings, status enums, results, problem spec.
+
+TPU-native re-design of the reference shared types
+(/root/reference/include/proxsuite/proxqp/{settings,results,status}.hpp).
+Settings is a static (hashable) dataclass — it parameterizes tracing, so a
+given (Settings, problem-shape) pair compiles exactly one XLA program.
+Results is a pytree of arrays so batched solves vmap cleanly.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class QPSolverOutput(enum.IntEnum):
+    """Solver status. Mirrors reference status.hpp:17-26."""
+
+    PROXQP_SOLVED = 0
+    PROXQP_MAX_ITER_REACHED = 1
+    PROXQP_PRIMAL_INFEASIBLE = 2
+    PROXQP_SOLVED_CLOSEST_PRIMAL_FEASIBLE = 3
+    PROXQP_DUAL_INFEASIBLE = 4
+    PROXQP_NOT_RUN = 5
+
+
+class InitialGuess(enum.IntEnum):
+    """Initial-guess modes. Mirrors reference status.hpp:28-35."""
+
+    NO_INITIAL_GUESS = 0
+    EQUALITY_CONSTRAINED_INITIAL_GUESS = 1
+    WARM_START_WITH_PREVIOUS_RESULT = 2
+    WARM_START = 3
+    COLD_START_WITH_PREVIOUS_RESULT = 4
+
+
+class HessianType(enum.IntEnum):
+    """Structure of the quadratic cost. Mirrors reference settings.hpp:40-46."""
+
+    Zero = 0  # LP fast path: P = rho*I, no H matvecs
+    Dense = 1
+    Diagonal = 2  # P = diag(H) + rho*I, diagonal solves
+
+
+class MeritFunctionType(enum.IntEnum):
+    """Inner-loop merit function. Mirrors reference settings.hpp:34-38."""
+
+    GPDAL = 0
+    PDAL = 1
+
+
+class DenseBackend(enum.IntEnum):
+    """KKT linear-system backend.
+
+    The reference chooses between PrimalDualLDLT (factor the full quasi-definite
+    KKT and mutate it with rank updates, wrapper.hpp:82-113) and PrimalLDLT
+    (factor only the n-by-n condensed matrix). Neither maps to TPU: rank
+    updates imply dynamic shapes and serial column sweeps. The TPU-native
+    backend ("SchurCholesky") factors P = H + rho*I once per solve (Cholesky,
+    MXU-friendly) and per Newton step assembles the masked active-set Schur
+    complement S = D_mu + W P^-1 W^T from precomputed Gram blocks -- an m-by-m
+    SPD Cholesky. Active-set changes and mu-updates are pure masking.
+    """
+
+    SchurCholesky = 0
+    Automatic = 2
+
+
+class EigenValueEstimateMethodOption(enum.IntEnum):
+    PowerIteration = 0
+    ExactMethod = 1
+
+
+class SparseBackend(enum.IntEnum):
+    """Mirrors reference settings.hpp:19-24. MatrixFree = CG/MINRES path."""
+
+    Automatic = 0
+    SparseCholesky = 1
+    MatrixFree = 2
+
+
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class Settings:
+    """Algorithm knobs. Defaults mirror reference settings.hpp:213-316."""
+
+    default_rho: float = 1e-6
+    default_mu_eq: float = 1e-3
+    default_mu_in: float = 1e-1
+
+    alpha_bcl: float = 0.1
+    beta_bcl: float = 0.9
+
+    refactor_dual_feasibility_threshold: float = 1e-2
+    refactor_rho_threshold: float = 1e-7
+
+    mu_min_eq: float = 1e-9
+    mu_min_in: float = 1e-8
+    mu_max_eq_inv: float = 1e9
+    mu_max_in_inv: float = 1e8
+
+    mu_update_factor: float = 0.1
+    mu_update_inv_factor: float = 10.0
+
+    cold_reset_mu_eq: float = 1.0 / 1.1
+    cold_reset_mu_in: float = 1.0 / 1.1
+
+    eps_abs: float = 1e-5
+    eps_rel: float = 0.0
+
+    max_iter: int = 10000
+    max_iter_in: int = 1500
+    safe_guard: int = 10000
+    nb_iterative_refinement: int = 10
+    eps_refact: float = 1e-6
+
+    verbose: bool = False
+    initial_guess: InitialGuess = InitialGuess.EQUALITY_CONSTRAINED_INITIAL_GUESS
+    update_preconditioner: bool = False
+    compute_preconditioner: bool = True
+    compute_timings: bool = False
+
+    check_duality_gap: bool = False
+    eps_duality_gap_abs: float = 1e-4
+    eps_duality_gap_rel: float = 0.0
+
+    preconditioner_max_iter: int = 10
+    preconditioner_accuracy: float = 1e-3
+    eps_primal_inf: float = 1e-4
+    eps_dual_inf: float = 1e-4
+    bcl_update: bool = True
+    merit_function_type: MeritFunctionType = MeritFunctionType.GPDAL
+    alpha_gpdal: float = 0.95
+
+    sparse_backend: SparseBackend = SparseBackend.Automatic
+    primal_infeasibility_solving: bool = False
+    frequence_infeasibility_check: int = 1
+    default_H_eigenvalue_estimate: float = 0.0
+
+    def replace(self, **kw) -> "Settings":
+        return dataclasses.replace(self, **kw)
+
+
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class ProblemSpec:
+    """Static shape/structure descriptor of a QP family.
+
+    All jitted code is specialized on this: (n, n_eq, n_in, box_constraints,
+    hessian_type) fix every array shape in the solver, so one compiled
+    executable serves any batch of problems with these dims.
+    """
+
+    n: int
+    n_eq: int
+    n_in: int
+    box_constraints: bool = False
+    hessian_type: HessianType = HessianType.Dense
+
+    @property
+    def n_c(self) -> int:
+        """Total inequality rows incl. box rows (reference n_constraints,
+        dense/solver.hpp:1108-1111)."""
+        return self.n_in + (self.n if self.box_constraints else 0)
+
+
+class Info(NamedTuple):
+    """Per-solve statistics pytree. Mirrors reference results.hpp:27-58."""
+
+    mu_eq: jax.Array
+    mu_in: jax.Array
+    rho: jax.Array
+    iter: jax.Array       # total inner iterations
+    iter_ext: jax.Array   # outer (BCL) iterations
+    mu_updates: jax.Array
+    rho_updates: jax.Array
+    status: jax.Array     # QPSolverOutput value
+    objValue: jax.Array
+    pri_res: jax.Array
+    dua_res: jax.Array
+    duality_gap: jax.Array
+    iterative_residual: jax.Array
+    minimal_H_eigenvalue_estimate: jax.Array
+
+
+class Results(NamedTuple):
+    """Solution pytree. Mirrors reference results.hpp:66-204.
+
+    x, y, z are unscaled primal / equality-dual / inequality-dual solutions
+    (z includes box multipliers in its tail when box constraints are active).
+    se, si are the unscaled optimal shifts to the closest feasible problem.
+    """
+
+    x: jax.Array
+    y: jax.Array
+    z: jax.Array
+    se: jax.Array
+    si: jax.Array
+    info: Info
+
+
+def infty_norm(v: jax.Array) -> jax.Array:
+    """Infinity norm, safe for zero-size arrays (returns 0)."""
+    return jnp.max(jnp.abs(v), initial=jnp.zeros((), v.dtype))
+
+
+def positive_part(v: jax.Array) -> jax.Array:
+    """Elementwise max(v, 0). Reference helpers/common.hpp."""
+    return jnp.maximum(v, 0)
+
+
+def negative_part(v: jax.Array) -> jax.Array:
+    """Elementwise min(v, 0). Reference helpers/common.hpp."""
+    return jnp.minimum(v, 0)
+
+
+# Sentinel for the reference's "infinite bound" clamping (helpers.hpp:628-649).
+INFINITE_BOUND = 1e20

@@ -1,0 +1,82 @@
+"""Differentiation tests: finite-difference checks of the QP layer.
+
+Mirrors reference test/src/dense_backward.cpp:16-148 (finite-difference
+checks of dL/dg and dL/db on feasible QPs).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import proxsuite_tpu as pt
+from proxsuite_tpu.qplayer import QPFunction
+from proxsuite_tpu.utils.random_qp import dense_strongly_convex_qp
+
+EPS = 1e-9
+
+
+@pytest.fixture(scope="module")
+def layer_and_qp():
+    qp = dense_strongly_convex_qp(8, 3, 5, seed=5)
+    layer = QPFunction(eps=EPS)
+    return layer, qp
+
+
+def _loss(layer, qp, g, b):
+    x, y, z = layer(jnp.asarray(qp.H), g, jnp.asarray(qp.A), b,
+                    jnp.asarray(qp.C), jnp.asarray(qp.l), jnp.asarray(qp.u))
+    return 0.5 * jnp.sum(x ** 2) + jnp.sum(x)
+
+
+def test_dL_dg_finite_difference(layer_and_qp):
+    layer, qp = layer_and_qp
+    g0 = jnp.asarray(qp.g)
+    b0 = jnp.asarray(qp.b)
+    grad_g = jax.grad(lambda g: _loss(layer, qp, g, b0))(g0)
+    fd = np.zeros_like(qp.g)
+    h = 1e-6
+    for i in range(len(qp.g)):
+        e = np.zeros_like(qp.g)
+        e[i] = h
+        fp = float(_loss(layer, qp, g0 + e, b0))
+        fm = float(_loss(layer, qp, g0 - e, b0))
+        fd[i] = (fp - fm) / (2 * h)
+    np.testing.assert_allclose(np.asarray(grad_g), fd, atol=1e-4, rtol=1e-3)
+
+
+def test_dL_db_finite_difference(layer_and_qp):
+    layer, qp = layer_and_qp
+    g0 = jnp.asarray(qp.g)
+    b0 = jnp.asarray(qp.b)
+    grad_b = jax.grad(lambda b: _loss(layer, qp, g0, b))(b0)
+    fd = np.zeros_like(qp.b)
+    h = 1e-6
+    for i in range(len(qp.b)):
+        e = np.zeros_like(qp.b)
+        e[i] = h
+        fp = float(_loss(layer, qp, g0, b0 + e))
+        fm = float(_loss(layer, qp, g0, b0 - e))
+        fd[i] = (fp - fm) / (2 * h)
+    np.testing.assert_allclose(np.asarray(grad_b), fd, atol=1e-4, rtol=1e-3)
+
+
+def test_batched_layer_grad_runs():
+    B = 4
+    qps = [dense_strongly_convex_qp(6, 2, 4, seed=s) for s in range(B)]
+    layer = QPFunction(eps=1e-9)
+    H = jnp.stack([jnp.asarray(q.H) for q in qps])
+    g = jnp.stack([jnp.asarray(q.g) for q in qps])
+    A = jnp.stack([jnp.asarray(q.A) for q in qps])
+    b = jnp.stack([jnp.asarray(q.b) for q in qps])
+    C = jnp.stack([jnp.asarray(q.C) for q in qps])
+    l = jnp.stack([jnp.asarray(q.l) for q in qps])
+    u = jnp.stack([jnp.asarray(q.u) for q in qps])
+
+    def loss(g):
+        x, y, z = layer(H, g, A, b, C, l, u)
+        return jnp.sum(x ** 2)
+
+    gr = jax.grad(loss)(g)
+    assert gr.shape == g.shape
+    assert np.all(np.isfinite(np.asarray(gr)))

@@ -12,11 +12,12 @@ precision after Ruiz equilibration); an f64-on-TPU number is also printed
 for the reference-accuracy configuration when feasible.
 
 Baseline: the reference publishes no absolute numbers in-tree
-(BASELINE.md) and cannot be built here (no Eigen in the image). We use
-the documented external proxqp_benchmark scale for dense n=100 QPs on one
-modern CPU core at high accuracy: ~1.5e-4 s/QP (README.md:131-147 chart
-scale). vs_baseline = baseline_per_qp / our_per_qp (>1 means faster than
-one ProxQP CPU core per chip).
+(BASELINE.md) and cannot be built here (no Eigen in the image), so the
+baseline is *measured at bench time* with the framework's own native C++
+CPU solver (native/proxqp_cpu.cpp — same algorithm, OpenMP batch, the
+reference's deployment model) on ONE core of this machine at the same
+eps. vs_baseline = cpu_per_qp / tpu_per_qp (>1 = one TPU chip beats one
+CPU core per QP).
 """
 import json
 import time
@@ -26,7 +27,22 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-BASELINE_PER_QP_S = 1.5e-4  # ProxQP dense n=100 on 1 CPU core (estimate)
+
+def measure_cpu_baseline(qps, eps, sample=64, n_threads=1):
+    """Per-QP seconds for the native CPU solver on `sample` problems."""
+    from proxsuite_tpu.cpu import solve_batch_cpu
+    sub = qps[:sample]
+    H = np.stack([q.H for q in sub]); g = np.stack([q.g for q in sub])
+    A = np.stack([q.A for q in sub]); b = np.stack([q.b for q in sub])
+    C = np.stack([q.C for q in sub]); u = np.stack([q.u for q in sub])
+    l = np.stack([q.l for q in sub])
+    solve_batch_cpu(H[:2], g[:2], A[:2], b[:2], C[:2], u[:2], l[:2],
+                    eps_abs=eps, n_threads=n_threads)  # warm up
+    t0 = time.perf_counter()
+    r = solve_batch_cpu(H, g, A, b, C, u, l, eps_abs=eps,
+                        n_threads=n_threads)
+    t = time.perf_counter() - t0
+    return t / len(sub), int((r.status == 0).sum())
 
 
 def build_batch(B, n, n_eq, n_in, dtype, seed=0):
@@ -62,22 +78,28 @@ def run(B=1024, n=100, n_eq=50, n_in=50, dtype=jnp.float32, eps=1e-4,
         jax.block_until_ready(res)
         times.append(time.perf_counter() - t0)
     t = min(times)
-    return t, solved, res
+    return t, solved, res, qps
 
 
 def main():
-    t, solved, res = run()
-    B = 1024
-    qps_per_sec = B / t
+    B, n, n_eq, n_in, eps = 1024, 100, 50, 50, 1e-4
+    t, solved, res, qps = run(B=B, n=n, n_eq=n_eq, n_in=n_in, eps=eps)
     per_qp = t / B
+    try:
+        cpu_per_qp, cpu_solved = measure_cpu_baseline(qps, eps)
+    except Exception:
+        cpu_per_qp, cpu_solved = float("nan"), 0
     out = {
         "metric": "batched dense QP (n=100,n_eq=n_in=50,f32,eps=1e-4) QPs/sec/chip",
-        "value": round(qps_per_sec, 1),
+        "value": round(B / t, 1),
         "unit": "QPs/sec",
-        "vs_baseline": round((BASELINE_PER_QP_S / per_qp), 3),
+        "vs_baseline": round(cpu_per_qp / per_qp, 3),
         "solved": solved,
         "batch": B,
         "sec_per_batch": round(t, 4),
+        "cpu_1core_ms_per_qp": round(1e3 * cpu_per_qp, 4),
+        "tpu_ms_per_qp": round(1e3 * per_qp, 4),
+        "mean_iter": round(float(jnp.mean(res.info.iter)), 1),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(out))

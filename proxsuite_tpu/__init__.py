@@ -6,6 +6,7 @@ batched MXU-friendly factorizations, vmap batching and shard_map scale-out.
 Capabilities mirror the reference Simple-Robotics/proxsuite (v0.7.2).
 """
 from .api import solve
+from .wrapper import QP
 from .types import (
     DenseBackend,
     EigenValueEstimateMethodOption,
@@ -24,6 +25,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "solve",
+    "QP",
     "Settings",
     "Results",
     "Info",

@@ -114,6 +114,35 @@ def factorize(
     )
 
 
+def kkt_matvec(
+    spec: ProblemSpec,
+    op: KKTOperand,
+    rho: jax.Array,
+    mask: jax.Array,
+    mu_eq: jax.Array,
+    mu_in: jax.Array,
+    dx: jax.Array,
+    dy: jax.Array,
+    dz: jax.Array,
+):
+    """Apply the masked quasi-definite KKT operator (symmetric).
+
+    Matrix-free counterpart of the reference AugmentedKkt expression
+    (sparse/utils.hpp:288-330): inactive inequality rows act as the
+    decoupled -mu_in diagonal.
+    """
+    if spec.hessian_type == HessianType.Zero:
+        Hdx = jnp.zeros_like(dx)
+    elif spec.hessian_type == HessianType.Diagonal:
+        Hdx = jnp.diagonal(op.H) * dx
+    else:
+        Hdx = op.H @ dx
+    o1 = Hdx + rho * dx + op.A.T @ dy + op.C.T @ (mask * dz)
+    o2 = op.A @ dx - mu_eq * dy
+    o3 = mask * (op.C @ dx) - mu_in * dz
+    return o1, o2, o3
+
+
 class NewtonSystem(NamedTuple):
     """Per-Newton-step factored system: masked Schur complement."""
 
@@ -203,10 +232,55 @@ def kkt_residual(
     return err1, err2, err3
 
 
+def build_masked_system(
+    spec: ProblemSpec,
+    mask: jax.Array,
+    mu_eq: jax.Array,
+    mu_in: jax.Array,
+    dtype,
+) -> NewtonSystem:
+    """NewtonSystem without a factorization (matrix-free backend)."""
+    return NewtonSystem(
+        L_S=jnp.zeros((0, 0), dtype), mask=mask.astype(dtype),
+        mu_eq=mu_eq, mu_in=mu_in)
+
+
+def minres_solve_fn(
+    spec: ProblemSpec,
+    settings: Settings,
+    op: KKTOperand,
+    sys: NewtonSystem,
+    rho: jax.Array,
+    tol: float = 1e-14,
+):
+    """MINRES closure over the masked KKT operator (matrix-free backend).
+
+    Counterpart of the reference MatrixFree path: Eigen MINRES over
+    AugmentedKkt (sparse/solver.hpp:39-84, sparse/workspace.hpp:94-103).
+    """
+    from .minres import minres
+
+    n, n_eq, n_c = spec.n, spec.n_eq, spec.n_c
+    max_iter = 2 * (n + n_eq + n_c)
+
+    def matvec(w):
+        dx, dy, dz = w[:n], w[n:n + n_eq], w[n + n_eq:]
+        o1, o2, o3 = kkt_matvec(
+            spec, op, rho, sys.mask, sys.mu_eq, sys.mu_in, dx, dy, dz)
+        return jnp.concatenate([o1, o2, o3])
+
+    def solve_fn(r1, r2, r3):
+        b = jnp.concatenate([r1, r2, r3])
+        w, _, _ = minres(matvec, b, tol=tol, max_iter=max_iter)
+        return w[:n], w[n:n + n_eq], w[n + n_eq:]
+
+    return solve_fn
+
+
 def solve_with_refinement(
     spec: ProblemSpec,
     settings: Settings,
-    f: KKTFactors,
+    f: "KKTFactors",
     op: KKTOperand,
     sys: NewtonSystem,
     rho: jax.Array,
@@ -214,15 +288,23 @@ def solve_with_refinement(
     r2: jax.Array,
     r3: jax.Array,
     eps: jax.Array,
+    solve_fn=None,
 ):
-    """Iterative refinement around the Schur solve.
+    """Iterative refinement around the backend's approximate KKT solve.
 
     Mirrors reference iterative_solve_with_permut_fact (solver.hpp:406-541):
     refine while the KKT residual exceeds eps, up to nb_iterative_refinement
     corrections, with a two-strike stagnation break. No refactorization
-    fallback (see module docstring). Returns (dx, dy, dz, final_err).
+    fallback (see module docstring). `solve_fn(r1, r2, r3) -> (dx, dy, dz)`
+    defaults to the Schur backend; the matrix-free backend passes a MINRES
+    closure (reference ldl_iter_solve_noalias wraps MINRES the same way,
+    sparse/solver.hpp:86-174). Returns (dx, dy, dz, final_err).
     """
-    dx, dy, dz = kkt_apply_inverse(spec, f, op, sys, r1, r2, r3)
+    if solve_fn is None:
+        def solve_fn(a, b, c):
+            return kkt_apply_inverse(spec, f, op, sys, a, b, c)
+
+    dx, dy, dz = solve_fn(r1, r2, r3)
     e1, e2, e3 = kkt_residual(spec, op, sys, rho, dx, dy, dz, r1, r2, r3)
     err = jnp.maximum(jnp.maximum(infty_norm(e1), infty_norm(e2)), infty_norm(e3))
 
@@ -235,7 +317,7 @@ def solve_with_refinement(
 
     def body(carry):
         dx, dy, dz, e1, e2, e3, err, preverr, it, strikes = carry
-        cx, cy, cz = kkt_apply_inverse(spec, f, op, sys, e1, e2, e3)
+        cx, cy, cz = solve_fn(e1, e2, e3)
         dx, dy, dz = dx + cx, dy + cy, dz + cz
         e1, e2, e3 = kkt_residual(spec, op, sys, rho, dx, dy, dz, r1, r2, r3)
         new_err = jnp.maximum(

@@ -111,6 +111,53 @@ def solve_in_parallel(
     return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _backward_batch_jit(spec, settings, eps_bwd, rho_bwd, mu_bwd,
+                        H, g, A, b, C, u, l, u_box, l_box,
+                        dL_dx, dL_dy, dL_dz):
+    from ..backward import compute_backward
+
+    def one(H, g, A, b, C, u, l, u_box, l_box, gx, gy, gz):
+        qp = build_scaled_qp(
+            spec, settings, H, g, A, b, C, u, l, u_box, l_box,
+            execute_preconditioner=settings.compute_preconditioner)
+        res = solve_scaled(spec, settings, qp)
+        bd = compute_backward(spec, settings, qp, res.x, res.y, res.z,
+                              gx, gy, gz, eps=eps_bwd,
+                              rho_backward=rho_bwd, mu_backward=mu_bwd)
+        return res, bd
+
+    return jax.vmap(one)(H, g, A, b, C, u, l, u_box, l_box,
+                         dL_dx, dL_dy, dL_dz)
+
+
+def solve_backward_in_parallel(
+    H, g, A, b, C, u, l, dL_dx, dL_dy, dL_dz,
+    *, settings: Optional[Settings] = None,
+    eps_backward: float = 1e-4, rho_backward: float = 1e-6,
+    mu_backward: float = 1e-6, **overrides,
+):
+    """Batched forward solves + adjoint backward passes in one program.
+
+    Counterpart of reference qp_solve_backward_in_parallel
+    (parallel/qp_solve.hpp:86-138). Returns (Results, BackwardData), both
+    with a leading batch axis.
+    """
+    settings = settings or Settings()
+    if overrides:
+        settings = settings.replace(**overrides)
+    g = jnp.asarray(g)
+    dtype = g.dtype
+    bsz, n = g.shape
+    spec = ProblemSpec(n=n, n_eq=np.shape(A)[1] if A is not None else 0,
+                       n_in=np.shape(C)[1] if C is not None else 0)
+    arrays = _batch_arrays(spec, H, g, A, b, C, u, l, None, None, dtype)
+    return _backward_batch_jit(
+        spec, settings, eps_backward, rho_backward, mu_backward,
+        *arrays, jnp.asarray(dL_dx, dtype), jnp.asarray(dL_dy, dtype),
+        jnp.asarray(dL_dz, dtype))
+
+
 class BatchQP:
     """Arena of same-shape QPs (reference dense::BatchQP,
     wrapper.hpp:1252-1311): accumulate problems, solve them as one batch."""

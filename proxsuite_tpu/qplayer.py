@@ -81,6 +81,9 @@ def QPFunction(
         min 0.5 x'Qx + p'x  s.t.  Ax = b,  l <= Gx <= u
     and returning (x, y, z), differentiable wrt every input. Batched inputs
     (leading axis on every argument) are dispatched through vmap.
+
+    Wrap repeated calls (training loops) in `jax.jit`: an eager call
+    re-traces the solver loops every time.
     """
     base = settings or Settings()
     base = base.replace(

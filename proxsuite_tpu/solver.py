@@ -127,9 +127,15 @@ def inner_newton(
         rhs_z = jnp.where(up, -s.ru + shift, jnp.where(low, -s.rl + shift, 0.0))
 
         # --- masked KKT solve with iterative refinement ---
-        sys = kkt.build_newton_system(spec, factors, active, mu_eq, mu_in)
+        if settings.kkt_backend == "matrixfree":
+            sys = kkt.build_masked_system(spec, active, mu_eq, mu_in, dtype)
+            solve_fn = kkt.minres_solve_fn(spec, settings, op, sys, rho)
+        else:
+            sys = kkt.build_newton_system(spec, factors, active, mu_eq, mu_in)
+            solve_fn = None
         dx, dy, dzJ, lin_err = kkt.solve_with_refinement(
-            spec, settings, factors, op, sys, rho, rhs_x, rhs_y, rhs_z, eps_int)
+            spec, settings, factors, op, sys, rho, rhs_x, rhs_y, rhs_z,
+            eps_int, solve_fn=solve_fn)
         # inactive multipliers step to zero (solver.hpp:860-868)
         dz = jnp.where(active, dzJ, -s.z)
 
@@ -285,20 +291,38 @@ def qp_solve_core(
     fac = _merit_factor(settings)
 
     op = KKTOperand(H=qp.H, A=qp.A, C=qp.C)
-    factors = kkt.factorize(spec, op, rho)
+    matrixfree = settings.kkt_backend == "matrixfree"
+    if matrixfree:
+        z0f = jnp.zeros((0,), dtype)
+        factors = kkt.KKTFactors(
+            L_P=jnp.zeros((0, 0), dtype), P_inv_diag=z0f,
+            K_aa=jnp.zeros((0, 0), dtype), K_ac=jnp.zeros((0, 0), dtype),
+            K_cc=jnp.zeros((0, 0), dtype))
+    else:
+        factors = kkt.factorize(spec, op, rho)
 
     x, y, z = x0, y0, z0
     if eq_init_guess:
-        sys0 = kkt.build_newton_system(
-            spec, factors, jnp.zeros((n_c,), bool), mu_eq0, mu_in0)
+        no_active = jnp.zeros((n_c,), bool)
+        if matrixfree:
+            sys0 = kkt.build_masked_system(spec, no_active, mu_eq0, mu_in0, dtype)
+            solve_fn0 = kkt.minres_solve_fn(spec, settings, op, sys0, rho)
+        else:
+            sys0 = kkt.build_newton_system(spec, factors, no_active, mu_eq0, mu_in0)
+            solve_fn0 = None
         gx, gy, _, _ = kkt.solve_with_refinement(
             spec, settings, factors, op, sys0, rho,
             -qp.g, qp.b, jnp.zeros((n_c,), dtype),
-            jnp.asarray(1.0, dtype))
+            jnp.asarray(1.0, dtype), solve_fn=solve_fn0)
         x, y = gx, gy
 
     g_un_norm = infty_norm(qp.g / (qp.delta_x * qp.c))  # dual_feasibility_rhs_2
+    # reference floor is min(eps_abs, 1e-9) (solver.hpp:1381); in single
+    # precision that is unreachable and would spin the inner loop, so the
+    # floor is clamped to ~10x machine epsilon for f32 runs.
     eps_in_min = min(settings.eps_abs, 1e-9)
+    if jnp.finfo(dtype).bits < 64:
+        eps_in_min = max(eps_in_min, 1e-6)
     bcl_eta_ext_init = 0.1 ** settings.alpha_bcl
 
     def gap_ok(gap, rhs_gap):

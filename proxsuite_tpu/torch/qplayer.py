@@ -1,0 +1,123 @@
+"""PyTorch bridge for the differentiable QP layer.
+
+Drop-in counterpart of the reference torch QPLayer
+(/root/reference/bindings/python/proxsuite/torch/qplayer.py:12-253):
+`QPFunction(...)` returns a callable taking torch tensors
+(Q, p, A, b, G, l, u), solving the batch of QPs on the JAX/TPU backend,
+and differentiating through torch autograd via the adjoint backward pass.
+
+The reference fans the batch out with OpenMP threads; here the batch is a
+single vmapped XLA program (parallel/batch.py rationale). Tensors cross
+the torch<->JAX boundary through NumPy (CPU torch in this image; a
+dlpack fast path can be added for device-resident tensors).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+try:
+    import torch
+except ImportError:  # pragma: no cover - torch is optional
+    torch = None
+
+import jax
+import jax.numpy as jnp
+
+from ..api import build_scaled_qp, solve_scaled
+from ..backward import compute_backward
+from ..types import ProblemSpec, Settings
+
+
+def _to_np(t):
+    return t.detach().cpu().numpy().astype(np.float64)
+
+
+@functools.lru_cache(maxsize=64)
+def _forward_fn(spec: ProblemSpec, settings: Settings):
+    def one(H, g, A, b, C, u_, l_):
+        qp = build_scaled_qp(
+            spec, settings, H, g, A, b, C, u_, l_,
+            jnp.zeros((0,), H.dtype), jnp.zeros((0,), H.dtype),
+            execute_preconditioner=settings.compute_preconditioner)
+        res = solve_scaled(spec, settings, qp)
+        return qp, res.x, res.y, res.z
+    return jax.jit(jax.vmap(one))
+
+
+@functools.lru_cache(maxsize=64)
+def _backward_fn(spec: ProblemSpec, settings: Settings,
+                 eps_backward: float, rho_backward: float,
+                 mu_backward: float):
+    def one(qp, x, y, z, gx, gy, gz):
+        return compute_backward(
+            spec, settings, qp, x, y, z, gx, gy, gz,
+            eps=eps_backward, rho_backward=rho_backward,
+            mu_backward=mu_backward)
+    return jax.jit(jax.vmap(one))
+
+
+def QPFunction(
+    eps: float = 1e-9,
+    maxIter: int = 1000,
+    eps_backward: float = 1e-4,
+    rho_backward: float = 1e-6,
+    mu_backward: float = 1e-6,
+    omp_parallel: bool = False,  # accepted for API parity; batching is vmap
+    structural_feasibility: bool = True,
+):
+    """Reference-compatible factory (qplayer.py:12-89)."""
+    if torch is None:
+        raise ImportError("torch is not available in this environment")
+
+    settings = Settings(
+        eps_abs=eps, max_iter=maxIter,
+        primal_infeasibility_solving=not structural_feasibility)
+
+    class QPFunctionFn(torch.autograd.Function):
+        @staticmethod
+        def forward(ctx, Q, p, A, b, G, l, u):
+            batched = p.dim() == 2
+            if not batched:
+                Q, p, A, b, G, l, u = (t.unsqueeze(0) for t in
+                                       (Q, p, A, b, G, l, u))
+            nBatch, n = p.shape
+            n_eq = A.shape[1] if A.numel() else 0
+            n_in = G.shape[1] if G.numel() else 0
+            spec = ProblemSpec(n=n, n_eq=n_eq, n_in=n_in)
+
+            arrays = tuple(jnp.asarray(_to_np(t)) for t in
+                           (Q, p, A, b, G, u, l))
+            qp_s, xs, ys, zs = _forward_fn(spec, settings)(*arrays)
+            ctx.spec, ctx.settings = spec, settings
+            ctx.qp_scaled = qp_s
+            ctx.sol = (xs, ys, zs)
+            ctx.batched = batched
+            out = tuple(torch.from_numpy(np.asarray(v)) for v in (xs, ys, zs))
+            if not batched:
+                out = tuple(t.squeeze(0) for t in out)
+            return out
+
+        @staticmethod
+        def backward(ctx, dl_dx, dl_dy, dl_dz):
+            spec, settings = ctx.spec, ctx.settings
+            xs, ys, zs = ctx.sol
+            if not ctx.batched:
+                dl_dx, dl_dy, dl_dz = (t.unsqueeze(0) for t in
+                                       (dl_dx, dl_dy, dl_dz))
+            gx = jnp.asarray(_to_np(dl_dx))
+            gy = jnp.asarray(_to_np(dl_dy))
+            gz = jnp.asarray(_to_np(dl_dz))
+
+            bd = _backward_fn(spec, settings, eps_backward, rho_backward,
+                              mu_backward)(ctx.qp_scaled, xs, ys, zs,
+                                           gx, gy, gz)
+            outs = (bd.dL_dH, bd.dL_dg, bd.dL_dA, bd.dL_db,
+                    bd.dL_dC, bd.dL_dl, bd.dL_du)
+            outs = tuple(torch.from_numpy(np.asarray(o)) for o in outs)
+            if not ctx.batched:
+                outs = tuple(o.squeeze(0) for o in outs)
+            return outs
+
+    return QPFunctionFn.apply

@@ -136,6 +136,10 @@ class Settings:
     alpha_gpdal: float = 0.95
 
     sparse_backend: SparseBackend = SparseBackend.Automatic
+    # KKT linear-system backend: "schur" (dense Schur-complement Cholesky,
+    # see ops/kkt.py) or "matrixfree" (MINRES over the masked KKT operator,
+    # the reference's SparseBackend::MatrixFree equivalent).
+    kkt_backend: str = "schur"
     primal_infeasibility_solving: bool = False
     frequence_infeasibility_check: int = 1
     default_H_eigenvalue_estimate: float = 0.0

@@ -1,0 +1,258 @@
+"""Stateful QP object: init / update / solve / cleanup lifecycle.
+
+Counterpart of the reference dense::QP wrapper
+(/root/reference/include/proxsuite/proxqp/dense/wrapper.hpp:115-996):
+holds settings, model, results and the equilibration state between solves,
+implements every InitialGuess mode, partial model updates that reuse the
+previous preconditioner (wrapper.hpp:723-919), warm starts, and proximal-
+parameter updates. Compute dispatches to jitted functional pieces cached
+per (ProblemSpec, Settings).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .api import build_scaled_qp, solve_scaled
+from .backward import BackwardData, compute_backward
+from .ops.residuals import ScaledQP
+from .types import (
+    HessianType,
+    InitialGuess,
+    ProblemSpec,
+    QPSolverOutput,
+    Results,
+    Settings,
+)
+from .utils.eigen import estimate_minimal_eigen_value_of_symmetric_matrix
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _scale_jit(spec, settings, execute, H, g, A, b, C, u, l, u_box, l_box,
+               delta_x, delta_y, delta_z, c):
+    if execute:
+        return build_scaled_qp(spec, settings, H, g, A, b, C, u, l,
+                               u_box, l_box, execute_preconditioner=True)
+    return build_scaled_qp(spec, settings, H, g, A, b, C, u, l,
+                           u_box, l_box, execute_preconditioner=False,
+                           delta_x=delta_x, delta_y=delta_y,
+                           delta_z=delta_z, c=c)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _solve_jit(spec, settings, qp: ScaledQP, x0, y0, z0, rho, mu_eq, mu_in):
+    return solve_scaled(spec, settings, qp, x0, y0, z0, rho, mu_eq, mu_in)
+
+
+class QP:
+    """Dense QP with persistent state (reference dense::QP<T>)."""
+
+    def __init__(self, n: int, n_eq: int, n_in: int,
+                 box_constraints: bool = False,
+                 hessian_type: HessianType = HessianType.Dense,
+                 settings: Optional[Settings] = None,
+                 dtype=None):
+        self.spec = ProblemSpec(n=n, n_eq=n_eq, n_in=n_in,
+                                box_constraints=box_constraints,
+                                hessian_type=hessian_type)
+        self.settings = settings or Settings()
+        self.dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64
+                               else jnp.float32)
+        self.results: Optional[Results] = None
+        self.backward_data: Optional[BackwardData] = None
+        self._model = None          # unscaled numpy-side model dict
+        self._scaled: Optional[ScaledQP] = None
+        self._rho = None            # persistent proximal parameters
+        self._mu_eq = None
+        self._mu_in = None
+        self._warm = None           # pending explicit warm start (x, y, z)
+        self._minimal_H_eig = 0.0
+
+    # ------------------------------------------------------------- init
+    def init(self, H=None, g=None, A=None, b=None, C=None, l=None, u=None,
+             l_box=None, u_box=None,
+             compute_preconditioner: bool = True,
+             rho: Optional[float] = None,
+             mu_eq: Optional[float] = None,
+             mu_in: Optional[float] = None,
+             manual_minimal_H_eigenvalue: Optional[float] = None):
+        """Set up the model and run (or skip) equilibration
+        (reference wrapper.hpp:354-518)."""
+        sp, dt = self.spec, self.dtype
+        model = {
+            "H": jnp.zeros((sp.n, sp.n), dt) if H is None else jnp.asarray(H, dt),
+            "g": jnp.asarray(g, dt),
+            "A": jnp.zeros((sp.n_eq, sp.n), dt) if A is None else jnp.asarray(A, dt),
+            "b": jnp.zeros((sp.n_eq,), dt) if b is None else jnp.asarray(b, dt),
+            "C": jnp.zeros((sp.n_in, sp.n), dt) if C is None else jnp.asarray(C, dt),
+            "u": jnp.full((sp.n_in,), jnp.inf, dt) if u is None else jnp.asarray(u, dt),
+            "l": jnp.full((sp.n_in,), -jnp.inf, dt) if l is None else jnp.asarray(l, dt),
+            "u_box": (jnp.asarray(u_box, dt) if u_box is not None
+                      else jnp.full((sp.n if sp.box_constraints else 0,), jnp.inf, dt)),
+            "l_box": (jnp.asarray(l_box, dt) if l_box is not None
+                      else jnp.full((sp.n if sp.box_constraints else 0,), -jnp.inf, dt)),
+        }
+        self._model = model
+
+        # proximal parameter overrides (helpers.hpp:678-705)
+        rho_val = self.settings.default_rho if rho is None else float(rho)
+        # nonconvex support: rho += |min eigenvalue estimate|
+        # (helpers.hpp:174-189)
+        if manual_minimal_H_eigenvalue is not None:
+            self._minimal_H_eig = float(manual_minimal_H_eigenvalue)
+            rho_val += abs(self._minimal_H_eig)
+        self._rho = rho_val
+        self._mu_eq = (self.settings.default_mu_eq if mu_eq is None
+                       else float(mu_eq))
+        self._mu_in = (self.settings.default_mu_in if mu_in is None
+                       else float(mu_in))
+
+        self._rescale(execute=compute_preconditioner
+                      and self.settings.compute_preconditioner)
+        self.results = None
+        return self
+
+    def _rescale(self, execute: bool):
+        m = self._model
+        if execute or self._scaled is None:
+            self._scaled = _scale_jit(
+                self.spec, self.settings, True,
+                m["H"], m["g"], m["A"], m["b"], m["C"], m["u"], m["l"],
+                m["u_box"], m["l_box"],
+                None, None, None, None)
+        else:
+            s = self._scaled
+            self._scaled = _scale_jit(
+                self.spec, self.settings, False,
+                m["H"], m["g"], m["A"], m["b"], m["C"], m["u"], m["l"],
+                m["u_box"], m["l_box"],
+                s.delta_x, s.delta_y, s.delta_z, s.c)
+
+    # ----------------------------------------------------------- update
+    def update(self, H=None, g=None, A=None, b=None, C=None, l=None, u=None,
+               l_box=None, u_box=None,
+               rho: Optional[float] = None,
+               mu_eq: Optional[float] = None,
+               mu_in: Optional[float] = None):
+        """Partial model update; reuses the previous equilibration unless
+        settings.update_preconditioner (reference wrapper.hpp:723-919)."""
+        if self._model is None:
+            raise RuntimeError("QP.update called before QP.init")
+        dt = self.dtype
+        for name, val in (("H", H), ("g", g), ("A", A), ("b", b), ("C", C),
+                          ("l", l), ("u", u), ("l_box", l_box),
+                          ("u_box", u_box)):
+            if val is not None:
+                self._model[name] = jnp.asarray(val, dt)
+        if rho is not None:
+            self._rho = float(rho)
+        if mu_eq is not None:
+            self._mu_eq = float(mu_eq)
+        if mu_in is not None:
+            self._mu_in = float(mu_in)
+        self._rescale(execute=self.settings.update_preconditioner)
+        return self
+
+    # ------------------------------------------------------- warm start
+    def warm_start(self, x=None, y=None, z=None):
+        """Explicit warm start; switches initial_guess to WARM_START
+        (reference helpers.hpp:715-763)."""
+        if x is None and y is None and z is None:
+            return self
+        self.settings = self.settings.replace(
+            initial_guess=InitialGuess.WARM_START)
+        dt = self.dtype
+        sp = self.spec
+        self._warm = (
+            jnp.zeros((sp.n,), dt) if x is None else jnp.asarray(x, dt),
+            jnp.zeros((sp.n_eq,), dt) if y is None else jnp.asarray(y, dt),
+            jnp.zeros((sp.n_c,), dt) if z is None else jnp.asarray(z, dt),
+        )
+        return self
+
+    # ------------------------------------------------------------ solve
+    def solve(self, x=None, y=None, z=None) -> Results:
+        import time as _time
+        t0 = _time.perf_counter()
+        if self._scaled is None:
+            raise RuntimeError("QP.solve called before QP.init")
+        if x is not None or y is not None or z is not None:
+            self.warm_start(x, y, z)
+
+        ig = self.settings.initial_guess
+        x0 = y0 = z0 = None
+        if ig == InitialGuess.WARM_START:
+            if self._warm is not None:
+                x0, y0, z0 = self._warm
+            elif self.results is not None:
+                x0, y0, z0 = self.results.x, self.results.y, self.results.z
+        elif ig in (InitialGuess.WARM_START_WITH_PREVIOUS_RESULT,
+                    InitialGuess.COLD_START_WITH_PREVIOUS_RESULT):
+            if self.results is not None:
+                x0, y0, z0 = self.results.x, self.results.y, self.results.z
+
+        dt = self.dtype
+        sp = self.spec
+        if x0 is None:
+            x0 = jnp.zeros((sp.n,), dt)
+            y0 = jnp.zeros((sp.n_eq,), dt)
+            z0 = jnp.zeros((sp.n_c,), dt)
+        if jnp.asarray(z0).shape[0] == sp.n_in and sp.box_constraints:
+            z0 = jnp.concatenate([jnp.asarray(z0, dt), jnp.zeros((sp.n,), dt)])
+
+        self.results = _solve_jit(
+            self.spec, self.settings, self._scaled,
+            jnp.asarray(x0, dt), jnp.asarray(y0, dt), jnp.asarray(z0, dt),
+            jnp.asarray(self._rho, dt), jnp.asarray(self._mu_eq, dt),
+            jnp.asarray(self._mu_in, dt))
+        self._warm = None
+        if self.settings.compute_timings:
+            # host wall-clock in microseconds (reference Timer semantics,
+            # proxqp/timings.hpp; includes compile on the first call)
+            jax.block_until_ready(self.results.x)
+            self.solve_time_us = (_time.perf_counter() - t0) * 1e6
+        return self.results
+
+    # ------------------------------------------------------- differentiate
+    def compute_backward(self, loss_derivative, eps: float = 1e-4,
+                         rho_backward: float = 1e-6,
+                         mu_backward: float = 1e-6) -> BackwardData:
+        """Adjoint gradients at the solved point (compute_ECJ.hpp:29-125).
+
+        loss_derivative is the concatenated (dL_dx, dL_dy, dL_dz)."""
+        if self.results is None:
+            raise RuntimeError("compute_backward requires a prior solve")
+        if int(self.results.info.status) == int(
+                QPSolverOutput.PROXQP_DUAL_INFEASIBLE):
+            raise ValueError(
+                "the QP is dual infeasible; derivatives are not defined")
+        sp = self.spec
+        ld = jnp.asarray(loss_derivative, self.dtype)
+        dL_dx = ld[: sp.n]
+        dL_dy = ld[sp.n: sp.n + sp.n_eq]
+        dL_dz = ld[sp.n + sp.n_eq:]
+        self.backward_data = compute_backward(
+            sp, self.settings, self._scaled,
+            self.results.x, self.results.y, self.results.z,
+            dL_dx, dL_dy, dL_dz,
+            eps=eps, rho_backward=rho_backward, mu_backward=mu_backward)
+        return self.backward_data
+
+    # ---------------------------------------------------------- cleanup
+    def cleanup(self):
+        """Reset results and statistics (reference wrapper.hpp:958-996)."""
+        self.results = None
+        self.backward_data = None
+        self._warm = None
+        return self
+
+
+def estimate_nonconvex_rho(H, settings: Settings) -> float:
+    """default_rho + |minimal eigenvalue| for nonconvex QPs
+    (reference helpers.hpp:174-189 + examples)."""
+    min_eig = float(estimate_minimal_eigen_value_of_symmetric_matrix(H))
+    return settings.default_rho + abs(min(min_eig, 0.0))

@@ -20,44 +20,44 @@ EPS = 1e-9
 def layer_and_qp():
     qp = dense_strongly_convex_qp(8, 3, 5, seed=5)
     layer = QPFunction(eps=EPS)
-    return layer, qp
 
+    # jit once: eager layer calls would re-trace the solver per call
+    @jax.jit
+    def loss(g, b):
+        x, y, z = layer(jnp.asarray(qp.H), g, jnp.asarray(qp.A), b,
+                        jnp.asarray(qp.C), jnp.asarray(qp.l),
+                        jnp.asarray(qp.u))
+        return 0.5 * jnp.sum(x ** 2) + jnp.sum(x)
 
-def _loss(layer, qp, g, b):
-    x, y, z = layer(jnp.asarray(qp.H), g, jnp.asarray(qp.A), b,
-                    jnp.asarray(qp.C), jnp.asarray(qp.l), jnp.asarray(qp.u))
-    return 0.5 * jnp.sum(x ** 2) + jnp.sum(x)
+    grad_fn = jax.jit(jax.grad(loss, argnums=(0, 1)))
+    return loss, grad_fn, qp
 
 
 def test_dL_dg_finite_difference(layer_and_qp):
-    layer, qp = layer_and_qp
+    loss, grad_fn, qp = layer_and_qp
     g0 = jnp.asarray(qp.g)
     b0 = jnp.asarray(qp.b)
-    grad_g = jax.grad(lambda g: _loss(layer, qp, g, b0))(g0)
+    grad_g, _ = grad_fn(g0, b0)
     fd = np.zeros_like(qp.g)
     h = 1e-6
     for i in range(len(qp.g)):
         e = np.zeros_like(qp.g)
         e[i] = h
-        fp = float(_loss(layer, qp, g0 + e, b0))
-        fm = float(_loss(layer, qp, g0 - e, b0))
-        fd[i] = (fp - fm) / (2 * h)
+        fd[i] = (float(loss(g0 + e, b0)) - float(loss(g0 - e, b0))) / (2 * h)
     np.testing.assert_allclose(np.asarray(grad_g), fd, atol=1e-4, rtol=1e-3)
 
 
 def test_dL_db_finite_difference(layer_and_qp):
-    layer, qp = layer_and_qp
+    loss, grad_fn, qp = layer_and_qp
     g0 = jnp.asarray(qp.g)
     b0 = jnp.asarray(qp.b)
-    grad_b = jax.grad(lambda b: _loss(layer, qp, g0, b))(b0)
+    _, grad_b = grad_fn(g0, b0)
     fd = np.zeros_like(qp.b)
     h = 1e-6
     for i in range(len(qp.b)):
         e = np.zeros_like(qp.b)
         e[i] = h
-        fp = float(_loss(layer, qp, g0, b0 + e))
-        fm = float(_loss(layer, qp, g0, b0 - e))
-        fd[i] = (fp - fm) / (2 * h)
+        fd[i] = (float(loss(g0, b0 + e)) - float(loss(g0, b0 - e))) / (2 * h)
     np.testing.assert_allclose(np.asarray(grad_b), fd, atol=1e-4, rtol=1e-3)
 
 

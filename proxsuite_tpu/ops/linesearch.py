@@ -9,12 +9,17 @@ monotonically non-decreasing, so the optimum is the unique zero crossing.
 
 The reference collects the breakpoints in a dynamic vector, sorts them, and
 walks them serially, evaluating the derivative O(active breakpoints) times.
-That is unjittable. Here we use the fixed-shape formulation: all 2*n_c
-candidate breakpoints (invalid ones pushed to +inf), one jnp.sort, and the
-merit derivative evaluated at *all* candidates at once -- the alpha-dependent
-terms reduce to masked reductions expressible as (K, n_c) matmuls, which is
-exactly what the MXU wants. The zero crossing is then located with argmax
-and the closed-form interpolation of linesearch.hpp:527-537.
+That is unjittable -- and a sort is also TPU-hostile. Because phi' is
+monotonically non-decreasing, no sort is needed at all: evaluate phi' at
+ALL 2*n_c candidates at once (masked (K, n_c) reductions, MXU food), then
+the bracket around the zero crossing is simply
+
+    alpha_neg = max { alpha_k : phi'(alpha_k) <  0 }
+    alpha_pos = min { alpha_k : phi'(alpha_k) >= 0 }
+
+-- two masked reductions -- followed by the closed-form interpolation of
+linesearch.hpp:527-537. (An earlier sort-based version measured 33 ms per
+batched call on TPU v5e vs <1 ms for the whole rest of the Newton step.)
 """
 from __future__ import annotations
 
@@ -108,37 +113,34 @@ def primal_dual_linesearch(settings: Settings, o: LinesearchOperand) -> jax.Arra
     inf = jnp.asarray(jnp.inf, dtype)
 
     # Step 1: candidate breakpoints -ru/Cdx and -rl/Cdx, kept if > eps
-    # (linesearch.hpp:378-391); invalid candidates pushed to +inf.
+    # (linesearch.hpp:378-391). No sort: validity handled by masks.
     denom = o.Cdx + eps_machine
     cand = jnp.concatenate([-o.ru / denom, -o.rl / denom])
     valid = jnp.logical_and(jnp.tile(o.Cdx != 0, 2), cand > eps_machine)
-    cand = jnp.where(valid, cand, inf)
-    alphas = jnp.sort(cand)
-    has_bp = jnp.isfinite(alphas[0])
+    has_bp = jnp.any(valid)
 
-    # Step 2.1: one batched derivative evaluation at [candidates..., 0]
-    # (invalid candidates evaluated at 0 but forced to +inf grad so they act
-    # as the first-positive sentinel). The trailing 0 entry provides phi'(0)
-    # and the no-breakpoint quadratic coefficients in the same call.
-    K = alphas.shape[0]
+    # Step 2.1: one batched derivative evaluation at [candidates..., 0].
+    # The trailing 0 entry provides phi'(0) and the no-breakpoint quadratic
+    # coefficients in the same call.
+    K = cand.shape[0]
     eval_pts = jnp.concatenate(
-        [jnp.where(jnp.isfinite(alphas), alphas, 0.0), jnp.zeros((1,), dtype)])
+        [jnp.where(valid, cand, 0.0), jnp.zeros((1,), dtype)])
     a_all, b_all, g_all = _derivative_coeffs(settings, o, eval_pts)
-    grads = jnp.where(jnp.isfinite(alphas), g_all[:K], inf)
+    grads = g_all[:K]
     g0, a_z, b_z = g_all[K], a_all[K], b_all[K]
 
-    # first index with grad >= 0 (phi' is non-decreasing)
-    nonneg = grads >= 0
-    idx_pos = jnp.argmax(nonneg)             # first True, 0 if none
-    any_pos = nonneg[idx_pos]
-    alpha_pos = jnp.where(any_pos, alphas[idx_pos], inf)
-    grad_pos = jnp.where(any_pos, grads[idx_pos], inf)
-
-    has_neg = jnp.logical_and(idx_pos > 0, jnp.isfinite(alphas[0]))
-    idx_neg = jnp.maximum(idx_pos - 1, 0)
-    alpha_neg = jnp.where(has_neg, alphas[idx_neg], 0.0)
-    # 2.2: if the first candidate already has positive slope, anchor at 0
-    grad_neg = jnp.where(has_neg, grads[idx_neg], g0)
+    # Monotone phi' -> the crossing is bracketed by the largest candidate
+    # with negative slope and the smallest with non-negative slope.
+    neg_mask = jnp.logical_and(valid, grads < 0)
+    pos_mask = jnp.logical_and(valid, grads >= 0)
+    has_neg = jnp.any(neg_mask)
+    alpha_neg = jnp.max(jnp.where(neg_mask, cand, -inf), initial=-inf)
+    alpha_pos = jnp.min(jnp.where(pos_mask, cand, inf), initial=inf)
+    grad_neg = jnp.max(jnp.where(neg_mask, grads, -inf), initial=-inf)
+    grad_pos = jnp.min(jnp.where(pos_mask, grads, inf), initial=inf)
+    # 2.2: anchor at 0 when no candidate has negative slope
+    alpha_neg = jnp.where(has_neg, alpha_neg, 0.0)
+    grad_neg = jnp.where(has_neg, grad_neg, g0)
 
     # 2.3 closed forms
     # (a) crossing bracketed: affine interpolation (linesearch.hpp:527-537)

@@ -87,6 +87,8 @@ class InnerState(NamedTuple):
     dy: jax.Array
     dz: jax.Array
     err_in: jax.Array
+    best_err: jax.Array
+    stalls: jax.Array
     lin_err: jax.Array
     k: jax.Array         # body runs completed
     iters_add: jax.Array # iteration count to add on break (reference +iter+1)
@@ -201,7 +203,20 @@ def inner_newton(
             is_dual_inf)
         converged = err_in <= eps_int
 
-        done_n = jnp.logical_or(jnp.logical_or(small, break_inf), converged)
+        # Stall break (TPU addition, no reference counterpart): when the
+        # inner error stops improving -- e.g. the f32 noise floor sits above
+        # eta_in -- hand control back to the BCL loop instead of spinning to
+        # max_iter_in. On a batched solve one stalled lane would otherwise
+        # serialize the whole batch. 10 consecutive iterations without a
+        # 0.1% improvement counts as stalled.
+        improved = err_in < 0.999 * s.best_err
+        stalls = jnp.where(improved, 0, s.stalls + 1)
+        best_err = jnp.minimum(s.best_err, err_in)
+        stalled = stalls >= 10
+
+        done_n = jnp.logical_or(
+            jnp.logical_or(jnp.logical_or(small, break_inf), converged),
+            stalled)
         iters_add = jnp.where(
             jnp.logical_and(done_n, jnp.logical_not(s.done)), s.k + 1, s.iters_add)
 
@@ -218,7 +233,8 @@ def inner_newton(
             dual_res=sel(dual_res_n, s.dual_res),
             active_up=up, active_low=low,
             dx=dx, dy=dy, dz=dz,
-            err_in=sel(err_in, s.err_in), lin_err=lin_err,
+            err_in=sel(err_in, s.err_in), best_err=best_err, stalls=stalls,
+            lin_err=lin_err,
             k=s.k + 1, iters_add=iters_add, status=status_n, done=done_n)
 
     init = InnerState(
@@ -226,7 +242,9 @@ def inner_newton(
         active_up=jnp.zeros((spec.n_c,), bool),
         active_low=jnp.zeros((spec.n_c,), bool),
         dx=jnp.zeros_like(x), dy=jnp.zeros_like(y), dz=jnp.zeros_like(z),
-        err_in=jnp.asarray(1e6, dtype), lin_err=jnp.asarray(0.0, dtype),
+        err_in=jnp.asarray(1e6, dtype), best_err=jnp.asarray(jnp.inf, dtype),
+        stalls=jnp.asarray(0, jnp.int32),
+        lin_err=jnp.asarray(0.0, dtype),
         k=jnp.asarray(0, jnp.int32),
         iters_add=jnp.asarray(settings.max_iter_in + 1, jnp.int32),
         status=status, done=skip)
@@ -349,6 +367,15 @@ def qp_solve_core(
         dr = global_dual_residual(
             spec, qp, s.x, s.y, s.z, s.active_up, s.active_low)
 
+        if settings.verbose:
+            # per-outer-iteration residual line (reference
+            # solver.hpp:1478-1485); compiled out when verbose is False
+            jax.debug.print(
+                "[outer {k}] pri={p:.3e} dua={d:.3e} gap={g:.3e} "
+                "mu_in={m:.1e}",
+                k=s.k, p=pr.pri_lhs, d=dr.dua_lhs, g=dr.duality_gap,
+                m=s.mu_in)
+
         rhs_pri = s.scaled_eps + settings.eps_rel * jnp.maximum(
             pr.eq_rhs_0, pr.in_rhs_0)
         rhs_dua = settings.eps_abs + settings.eps_rel * jnp.maximum(
@@ -431,8 +458,10 @@ def qp_solve_core(
         shrunk_mu_in = jnp.maximum(
             mu_in * settings.mu_update_factor, settings.mu_min_in)
         if settings.bcl_update:
+            # safe_guard compares the cumulative inner-iteration count
+            # (reference solver.hpp:583-584)
             good = jnp.logical_or(
-                pr2.pri_lhs <= s.bcl_eta_ext, s.k > settings.safe_guard)
+                pr2.pri_lhs <= s.bcl_eta_ext, it_total > settings.safe_guard)
             new_mu_eq = jnp.where(good, mu_eq, shrunk_mu_eq)
             new_mu_in = jnp.where(good, mu_in, shrunk_mu_in)
             bcl_eta_ext = jnp.where(

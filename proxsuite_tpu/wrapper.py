@@ -210,6 +210,17 @@ class QP:
             jnp.asarray(self._rho, dt), jnp.asarray(self._mu_eq, dt),
             jnp.asarray(self._mu_in, dt))
         self._warm = None
+        if self.settings.verbose:
+            # solver statistics banner (reference solver.hpp:1789-1834)
+            r = self.results
+            print("----------------SOLVER STATISTICS----------------")
+            print(f"status:       {QPSolverOutput(int(r.info.status)).name}")
+            print(f"outer iter:   {int(r.info.iter_ext)}")
+            print(f"total iter:   {int(r.info.iter)}")
+            print(f"mu updates:   {int(r.info.mu_updates)}")
+            print(f"objective:    {float(r.info.objValue):.6e}")
+            print(f"pri residual: {float(r.info.pri_res):.3e}")
+            print(f"dua residual: {float(r.info.dua_res):.3e}")
         if self.settings.compute_timings:
             # host wall-clock in microseconds (reference Timer semantics,
             # proxqp/timings.hpp; includes compile on the first call)

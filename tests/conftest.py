@@ -7,6 +7,9 @@ the 1e-9 KKT-residual oracle applies; multi-device sharding tests use the
 import os
 import sys
 
+# NOTE: this environment force-sets JAX_PLATFORMS=axon at import time (env
+# prefixes are overridden), so the only reliable CPU pin is
+# jax.config.update("jax_platforms", "cpu") below, before first backend use.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -17,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: the solver compiles one executable per
 # (shape, settings) pair (~20s each); cache makes re-runs instant.

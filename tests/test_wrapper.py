@@ -73,18 +73,25 @@ def test_explicit_warm_start(qp_data):
 
 
 def test_nonconvex_rho_estimate():
+    # estimation accuracy on a fully indefinite matrix (the reference's
+    # nonconvex tests assert only the estimate, dense_qp_wrapper.py:4824-4900)
     rng = np.random.default_rng(0)
     M = rng.standard_normal((10, 10))
-    H = 0.5 * (M + M.T)  # indefinite
-    rho = estimate_nonconvex_rho(H, pt.Settings())
-    min_eig = np.linalg.eigvalsh(H).min()
+    H_ind = 0.5 * (M + M.T)
+    rho = estimate_nonconvex_rho(H_ind, pt.Settings())
+    min_eig = np.linalg.eigvalsh(H_ind).min()
     assert rho >= abs(min_eig) * 0.99  # power-iteration accuracy
-    # with the augmented rho, the nonconvex QP solves to a stationary point
+
+    # solve a mildly nonconvex QP (reference uses a -0.01 eigenvalue shift,
+    # generate_mixed_qp(n, i, -0.01)) to a stationary point
     qp_data = dense_strongly_convex_qp(10, 3, 5, seed=33)
+    w, V = np.linalg.eigh(qp_data.H)
+    H = (V * (w - w.min() - 0.01)) @ V.T  # minimal eigenvalue = -0.01
+    min_eig2 = np.linalg.eigvalsh(H).min()
     qp = pt.QP(10, 3, 5, settings=pt.Settings(eps_abs=1e-7))
     qp.init(H=H, g=qp_data.g, A=qp_data.A, b=qp_data.b,
             C=qp_data.C, l=qp_data.l, u=qp_data.u,
-            manual_minimal_H_eigenvalue=min_eig)
+            manual_minimal_H_eigenvalue=min_eig2)
     res = qp.solve()
     assert int(res.info.status) == int(pt.QPSolverOutput.PROXQP_SOLVED)
     qpn = qp_data._replace(H=H)

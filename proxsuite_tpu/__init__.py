@@ -7,6 +7,7 @@ Capabilities mirror the reference Simple-Robotics/proxsuite (v0.7.2).
 """
 from .api import solve
 from .wrapper import QP
+from . import proxqp  # reference-compatible module layout (proxqp.dense/...)
 from .types import (
     DenseBackend,
     EigenValueEstimateMethodOption,

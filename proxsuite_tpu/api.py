@@ -65,6 +65,25 @@ def build_scaled_qp(
 
     Counterpart of reference dense::setup (helpers.hpp:500-667).
     """
+    # Full operand precision for every product in the solve path: TPU
+    # matmuls default to bf16 operands, which corrupts residuals and
+    # convergence checks in f32 (see ops/chol.py).
+    with jax.default_matmul_precision("highest"):
+        return _build_scaled_qp_hp(
+            spec, settings, H, g, A, b, C, u, l, u_box, l_box,
+            execute_preconditioner=execute_preconditioner,
+            delta_x=delta_x, delta_y=delta_y, delta_z=delta_z, c=c)
+
+
+def _build_scaled_qp_hp(
+    spec: ProblemSpec,
+    settings: Settings,
+    H, g, A, b, C, u, l,
+    u_box=None, l_box=None,
+    *,
+    execute_preconditioner: bool = True,
+    delta_x=None, delta_y=None, delta_z=None, c=None,
+) -> ScaledQP:
     dtype = jnp.asarray(H).dtype
     C_e, u_e, l_e = extend_box(spec, C, u, l, u_box, l_box, dtype)
     u_cl, l_cl = _clamp_bounds(u_e, l_e)
@@ -122,9 +141,11 @@ def solve_scaled(
     rho = jnp.asarray(settings.default_rho if rho is None else rho, dtype)
     mu_eq = jnp.asarray(settings.default_mu_eq if mu_eq is None else mu_eq, dtype)
     mu_in = jnp.asarray(settings.default_mu_in if mu_in is None else mu_in, dtype)
-    return qp_solve_core(
-        spec, settings, qp, xs, ys, zs, rho, mu_eq, mu_in,
-        eq_init_guess=eq_init)
+    # full operand precision on TPU (see build_scaled_qp)
+    with jax.default_matmul_precision("highest"):
+        return qp_solve_core(
+            spec, settings, qp, xs, ys, zs, rho, mu_eq, mu_in,
+            eq_init_guess=eq_init)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))

@@ -57,6 +57,16 @@ def compute_backward(
     mu_backward: float = 1e-6,
 ) -> BackwardData:
     """One adjoint solve at the (unscaled) solution -> parameter gradients."""
+    with jax.default_matmul_precision("highest"):  # see ops/chol.py
+        return _compute_backward_hp(
+            spec, settings, qp, x, y, z, dL_dx, dL_dy, dL_dz,
+            eps, rho_backward, mu_backward)
+
+
+def _compute_backward_hp(
+    spec, settings, qp, x, y, z, dL_dx, dL_dy, dL_dz,
+    eps, rho_backward, mu_backward,
+) -> BackwardData:
     dtype = qp.H.dtype
     rho = jnp.asarray(rho_backward, dtype)
     mu = jnp.asarray(mu_backward, dtype)

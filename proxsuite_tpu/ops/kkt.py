@@ -44,12 +44,28 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..types import HessianType, ProblemSpec, Settings, infty_norm
+from .chol import chol_and_inv
+
+# Full-f32 MXU precision for every product on the KKT solve path: the
+# explicit-inverse solves and the refinement residuals would otherwise run
+# at bf16 operand precision on TPU (see ops/chol.py).
+_PREC = lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_PREC)
 
 
 class KKTFactors(NamedTuple):
-    """Per-solve factorization state (constant while rho is constant)."""
+    """Per-solve factorization state (constant while rho is constant).
 
-    L_P: jax.Array        # (n, n) Cholesky factor of P (dummy for Zero/Diagonal)
+    Stores the explicit INVERSE Cholesky factor of P, not the factor
+    itself: triangular solves are XLA's slowest TPU primitive (~8.6 ms
+    per batched call vs 0.02 ms for the same-shape matmul, see
+    ops/chol.py), so all P-solves are two matvecs with L_P^-1.
+    """
+
+    Linv_P: jax.Array     # (n, n) inverse Cholesky factor of P (dummy for Zero/Diagonal)
     P_inv_diag: jax.Array  # (n,) 1/diag(P) for Zero/Diagonal paths (dummy otherwise)
     K_aa: jax.Array       # (n_eq, n_eq) = A P^-1 A^T
     K_ac: jax.Array       # (n_eq, n_c)  = A P^-1 C^T
@@ -65,12 +81,9 @@ class KKTOperand(NamedTuple):
 
 
 def _p_solve(spec: ProblemSpec, f: KKTFactors, r: jax.Array) -> jax.Array:
-    """x = P^-1 r."""
+    """x = P^-1 r = L^-T (L^-1 r), as two matvecs."""
     if spec.hessian_type == HessianType.Dense:
-        y = lax.linalg.triangular_solve(
-            f.L_P, r, left_side=True, lower=True, transpose_a=False)
-        return lax.linalg.triangular_solve(
-            f.L_P, y, left_side=True, lower=True, transpose_a=True)
+        return _mm(f.Linv_P.T, _mm(f.Linv_P, r))
     return f.P_inv_diag * r
 
 
@@ -88,12 +101,11 @@ def factorize(
     dtype = op.H.dtype
     if spec.hessian_type == HessianType.Dense:
         P = op.H + rho * jnp.eye(n, dtype=dtype)
-        L_P = lax.linalg.cholesky(P)
+        _, Linv_P = chol_and_inv(P)
         # Y = L^-1 [A^T C^T]  ->  Gram blocks = Y^T Y split into quadrants.
         ACt = jnp.concatenate([op.A.T, op.C.T], axis=1)  # (n, m)
-        Y = lax.linalg.triangular_solve(
-            L_P, ACt, left_side=True, lower=True, transpose_a=False)
-        G = Y.T @ Y
+        Y = _mm(Linv_P, ACt)
+        G = _mm(Y.T, Y)
         P_inv_diag = jnp.zeros((n,), dtype)
     else:
         if spec.hessian_type == HessianType.Zero:
@@ -102,11 +114,11 @@ def factorize(
             pdiag = jnp.diagonal(op.H) + rho
         P_inv_diag = 1.0 / pdiag
         ACt = jnp.concatenate([op.A.T, op.C.T], axis=1)
-        G = ACt.T @ (P_inv_diag[:, None] * ACt)
-        L_P = jnp.zeros((n, n), dtype)
+        G = _mm(ACt.T, P_inv_diag[:, None] * ACt)
+        Linv_P = jnp.zeros((n, n), dtype)
     n_eq = spec.n_eq
     return KKTFactors(
-        L_P=L_P,
+        Linv_P=Linv_P,
         P_inv_diag=P_inv_diag,
         K_aa=G[:n_eq, :n_eq],
         K_ac=G[:n_eq, n_eq:],
@@ -136,17 +148,17 @@ def kkt_matvec(
     elif spec.hessian_type == HessianType.Diagonal:
         Hdx = jnp.diagonal(op.H) * dx
     else:
-        Hdx = op.H @ dx
-    o1 = Hdx + rho * dx + op.A.T @ dy + op.C.T @ (mask * dz)
-    o2 = op.A @ dx - mu_eq * dy
-    o3 = mask * (op.C @ dx) - mu_in * dz
+        Hdx = _mm(op.H, dx)
+    o1 = Hdx + rho * dx + _mm(op.A.T, dy) + _mm(op.C.T, mask * dz)
+    o2 = _mm(op.A, dx) - mu_eq * dy
+    o3 = mask * _mm(op.C, dx) - mu_in * dz
     return o1, o2, o3
 
 
 class NewtonSystem(NamedTuple):
     """Per-Newton-step factored system: masked Schur complement."""
 
-    L_S: jax.Array      # (m, m) Cholesky of S
+    Linv_S: jax.Array   # (m, m) inverse Cholesky factor of S
     mask: jax.Array     # (n_c,) active-set mask as dtype 0/1
     mu_eq: jax.Array
     mu_in: jax.Array
@@ -172,15 +184,12 @@ def build_newton_system(
     S_ac = f.K_ac * mk[None, :]
     S_cc = mk[:, None] * f.K_cc * mk[None, :] + mu_in * jnp.eye(spec.n_c, dtype=dtype)
     S = jnp.block([[S_aa, S_ac], [S_ac.T, S_cc]]) if m > 0 else jnp.zeros((0, 0), dtype)
-    L_S = lax.linalg.cholesky(S)
-    return NewtonSystem(L_S=L_S, mask=mk, mu_eq=mu_eq, mu_in=mu_in)
+    _, Linv_S = chol_and_inv(S)
+    return NewtonSystem(Linv_S=Linv_S, mask=mk, mu_eq=mu_eq, mu_in=mu_in)
 
 
 def _s_solve(sys: NewtonSystem, r: jax.Array) -> jax.Array:
-    y = lax.linalg.triangular_solve(
-        sys.L_S, r, left_side=True, lower=True, transpose_a=False)
-    return lax.linalg.triangular_solve(
-        sys.L_S, y, left_side=True, lower=True, transpose_a=True)
+    return _mm(sys.Linv_S.T, _mm(sys.Linv_S, r))
 
 
 def kkt_apply_inverse(
@@ -198,10 +207,10 @@ def kkt_apply_inverse(
     [W   -D_mu] [dw] = [r2;r3] ,   dx   = P^-1 (r1 - W^T dw)
     """
     p1 = _p_solve(spec, f, r1)
-    t = jnp.concatenate([op.A @ p1 - r2, sys.mask * (op.C @ p1) - r3])
+    t = jnp.concatenate([_mm(op.A, p1) - r2, sys.mask * _mm(op.C, p1) - r3])
     dw = _s_solve(sys, t)
     dy, dz = dw[: spec.n_eq], dw[spec.n_eq:]
-    rhs_x = r1 - op.A.T @ dy - op.C.T @ (sys.mask * dz)
+    rhs_x = r1 - _mm(op.A.T, dy) - _mm(op.C.T, sys.mask * dz)
     dx = _p_solve(spec, f, rhs_x)
     return dx, dy, dz
 
@@ -224,11 +233,11 @@ def kkt_residual(
     elif spec.hessian_type == HessianType.Diagonal:
         Hdx = jnp.diagonal(op.H) * dx
     else:
-        Hdx = op.H @ dx
-    err1 = r1 - Hdx - rho * dx - op.A.T @ dy - op.C.T @ (sys.mask * dz)
-    err2 = r2 - (op.A @ dx - sys.mu_eq * dy)
+        Hdx = _mm(op.H, dx)
+    err1 = r1 - Hdx - rho * dx - _mm(op.A.T, dy) - _mm(op.C.T, sys.mask * dz)
+    err2 = r2 - (_mm(op.A, dx) - sys.mu_eq * dy)
     # active rows: r3 - (C dx - mu_in dz); inactive rows: r3 + mu_in dz
-    err3 = r3 - (sys.mask * (op.C @ dx) - sys.mu_in * dz)
+    err3 = r3 - (sys.mask * _mm(op.C, dx) - sys.mu_in * dz)
     return err1, err2, err3
 
 
@@ -241,7 +250,7 @@ def build_masked_system(
 ) -> NewtonSystem:
     """NewtonSystem without a factorization (matrix-free backend)."""
     return NewtonSystem(
-        L_S=jnp.zeros((0, 0), dtype), mask=mask.astype(dtype),
+        Linv_S=jnp.zeros((0, 0), dtype), mask=mask.astype(dtype),
         mu_eq=mu_eq, mu_in=mu_in)
 
 

@@ -1,0 +1,206 @@
+"""Reference-compatible `proxqp.dense` module.
+
+Mirrors the nanobind surface of the reference dense bindings
+(/root/reference/bindings/python/src/expose-qpobject.hpp,
+expose-solve.hpp, expose-qpvector.hpp, expose-parallel.hpp,
+expose-backward.hpp, expose-helpers.hpp): `QP`, stateless `solve`,
+`BatchQP`, `solve_in_parallel`, `solve_backward_in_parallel`,
+`compute_backward`, `estimate_minimal_eigen_value_of_symmetric_matrix`.
+Argument names and order follow the reference (l before u).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .. import api as _api
+from .. import wrapper as _wrapper
+from ..parallel import batch as _batch
+from ..types import (
+    DenseBackend,
+    HessianType,
+    InitialGuess,
+    Results,
+    Settings,
+)
+from ..utils.eigen import (
+    estimate_minimal_eigen_value_of_symmetric_matrix,
+)
+from ._compat import ModelView, MutableSettings, ResultsView
+
+__all__ = [
+    "QP",
+    "BatchQP",
+    "solve",
+    "solve_in_parallel",
+    "solve_backward_in_parallel",
+    "compute_backward",
+    "estimate_minimal_eigen_value_of_symmetric_matrix",
+]
+
+
+class QP:
+    """Reference-compatible dense QP object (dense/wrapper.hpp:115-996).
+
+    Usage mirrors the reference bindings: construct with dims, assign
+    settings attributes, `init(H, g, A, b, C, l, u)`, `solve()`, read
+    `results.x`. Compute runs on the TPU-native core (wrapper.py).
+    """
+
+    def __init__(self, n: int, n_eq: int, n_in: int,
+                 box_constraints: bool = False,
+                 dense_backend: DenseBackend = DenseBackend.Automatic,
+                 hessian_type: HessianType = HessianType.Dense):
+        self.settings = MutableSettings()
+        self._box = box_constraints
+        self._hessian_type = hessian_type
+        self._dense_backend = dense_backend
+        self._core = _wrapper.QP(
+            n, n_eq, n_in, box_constraints=box_constraints,
+            hessian_type=hessian_type)
+        self._init_args = None
+
+    # -- lifecycle ----------------------------------------------------
+    def init(self, H=None, g=None, A=None, b=None, C=None, l=None, u=None,
+             l_box=None, u_box=None, compute_preconditioner: bool = True,
+             rho: Optional[float] = None, mu_eq: Optional[float] = None,
+             mu_in: Optional[float] = None,
+             manual_minimal_H_eigenvalue: Optional[float] = None):
+        self._core.settings = self.settings.freeze()
+        self._core.init(
+            H=H, g=g, A=A, b=b, C=C, l=l, u=u, l_box=l_box, u_box=u_box,
+            compute_preconditioner=compute_preconditioner,
+            rho=rho, mu_eq=mu_eq, mu_in=mu_in,
+            manual_minimal_H_eigenvalue=manual_minimal_H_eigenvalue)
+        return self
+
+    def update(self, H=None, g=None, A=None, b=None, C=None, l=None, u=None,
+               l_box=None, u_box=None,
+               rho: Optional[float] = None, mu_eq: Optional[float] = None,
+               mu_in: Optional[float] = None,
+               update_preconditioner: bool = False):
+        self.settings.update_preconditioner = update_preconditioner
+        self._core.settings = self.settings.freeze()
+        self._core.update(H=H, g=g, A=A, b=b, C=C, l=l, u=u,
+                          l_box=l_box, u_box=u_box,
+                          rho=rho, mu_eq=mu_eq, mu_in=mu_in)
+        return self
+
+    def solve(self, x=None, y=None, z=None):
+        self._core.settings = self.settings.freeze()
+        self._core.solve(x=x, y=y, z=z)
+        # mirror possible initial_guess switch done by explicit warm start
+        self.settings.initial_guess = self._core.settings.initial_guess
+        return self.results
+
+    def cleanup(self):
+        self._core.cleanup()
+        return self
+
+    # -- state views ---------------------------------------------------
+    @property
+    def results(self) -> ResultsView:
+        if self._core.results is None:
+            raise RuntimeError("solve() has not been called")
+        return ResultsView(self._core.results)
+
+    @property
+    def model(self) -> ModelView:
+        return ModelView(self)
+
+    def is_box_constrained(self) -> bool:
+        return self._box
+
+
+class BatchQP:
+    """Arena of dense QPs (reference dense::BatchQP, wrapper.hpp:1252-1311
+    + expose-qpvector.hpp): `init_qp_in_place` returns a QP to fill, the
+    batch is solved as one vmapped program by `solve_in_parallel`."""
+
+    def __init__(self, batch_size: int = 0):
+        self._qps = []
+
+    def init_qp_in_place(self, n: int, n_eq: int, n_in: int) -> QP:
+        qp = QP(n, n_eq, n_in)
+        self._qps.append(qp)
+        return qp
+
+    def size(self) -> int:
+        return len(self._qps)
+
+    def __len__(self):
+        return len(self._qps)
+
+    def get(self, i: int) -> QP:
+        return self._qps[i]
+
+    def __getitem__(self, i: int) -> QP:
+        return self._qps[i]
+
+
+def solve(H=None, g=None, A=None, b=None, C=None, l=None, u=None,
+          x=None, y=None, z=None, **kwargs) -> ResultsView:
+    """Stateless dense solve with the reference kwarg surface
+    (expose-solve.hpp:17-200 / dense/wrapper.hpp:1000-1233)."""
+    res = _api.solve(H=H, g=g, A=A, b=b, C=C, l=l, u=u, x=x, y=y, z=z,
+                     **kwargs)
+    return ResultsView(res)
+
+
+def _gather_batch(qps) -> tuple:
+    if isinstance(qps, BatchQP):
+        items = qps._qps
+    else:
+        items = list(qps)
+    if not items:
+        raise ValueError("empty batch")
+    models = [q._core._model for q in items]
+    for m in models:
+        if m is None:
+            raise RuntimeError("every QP in the batch must be init()ed")
+    stack = lambda k: np.stack([np.asarray(m[k]) for m in models])
+    return items, (stack("H"), stack("g"), stack("A"), stack("b"),
+                   stack("C"), stack("u"), stack("l"))
+
+
+def _scatter_results(items, res: Results):
+    import jax
+    for i, q in enumerate(items):
+        q._core.results = jax.tree.map(lambda a, i=i: a[i], res)
+
+
+def solve_in_parallel(qps, num_threads: Optional[int] = None) -> None:
+    """Solve a BatchQP / list of QPs as one vmapped TPU program.
+
+    Reference: proxqp/parallel/qp_solve.hpp:64-82 (OpenMP parallel-for);
+    num_threads is accepted for API compatibility and ignored -- the
+    batch parallelism is the vmap lanes. Results land in each qp.results.
+    """
+    items, (H, g, A, b, C, u, l) = _gather_batch(qps)
+    settings = items[0].settings.freeze()
+    res = _batch.solve_in_parallel(H, g, A, b, C, u, l, settings=settings)
+    _scatter_results(items, res)
+
+
+def compute_backward(qp: QP, loss_derivative, eps: float = 1e-4,
+                     rho_backward: float = 1e-6, mu_backward: float = 1e-6):
+    """Adjoint gradients at qp's solution; results land in
+    qp.model.backward_data (reference expose-backward.hpp:13-37,
+    dense/compute_ECJ.hpp:31-188)."""
+    qp._core.compute_backward(
+        np.asarray(loss_derivative), eps=eps,
+        rho_backward=rho_backward, mu_backward=mu_backward)
+    return qp.model.backward_data
+
+
+def solve_backward_in_parallel(qps, loss_derivatives,
+                               num_threads: Optional[int] = None,
+                               eps: float = 1e-4,
+                               rho_backward: float = 1e-6,
+                               mu_backward: float = 1e-6) -> None:
+    """Batched backward passes (reference parallel/qp_solve.hpp:86-138)."""
+    items = qps._qps if isinstance(qps, BatchQP) else list(qps)
+    for qp, ld in zip(items, loss_derivatives):
+        compute_backward(qp, ld, eps=eps, rho_backward=rho_backward,
+                         mu_backward=mu_backward)

@@ -313,7 +313,7 @@ def qp_solve_core(
     if matrixfree:
         z0f = jnp.zeros((0,), dtype)
         factors = kkt.KKTFactors(
-            L_P=jnp.zeros((0, 0), dtype), P_inv_diag=z0f,
+            Linv_P=jnp.zeros((0, 0), dtype), P_inv_diag=z0f,
             K_aa=jnp.zeros((0, 0), dtype), K_ac=jnp.zeros((0, 0), dtype),
             K_cc=jnp.zeros((0, 0), dtype))
     else:

@@ -42,7 +42,7 @@ def _forward_fn(spec: ProblemSpec, settings: Settings):
             jnp.zeros((0,), H.dtype), jnp.zeros((0,), H.dtype),
             execute_preconditioner=settings.compute_preconditioner)
         res = solve_scaled(spec, settings, qp)
-        return qp, res.x, res.y, res.z
+        return qp, res.x, res.y, res.z, res.se, res.si
     return jax.jit(jax.vmap(one))
 
 
@@ -75,49 +75,112 @@ def QPFunction(
         eps_abs=eps, max_iter=maxIter,
         primal_infeasibility_solving=not structural_feasibility)
 
+    def _run_forward(ctx, Q, p, A, b, G, l, u):
+        batched = p.dim() == 2
+        if not batched:
+            Q, p, A, b, G, l, u = (t.unsqueeze(0) for t in
+                                   (Q, p, A, b, G, l, u))
+        nBatch, n = p.shape
+        n_eq = A.shape[1] if A.numel() else 0
+        n_in = G.shape[1] if G.numel() else 0
+        spec = ProblemSpec(n=n, n_eq=n_eq, n_in=n_in)
+
+        arrays = tuple(jnp.asarray(_to_np(t)) for t in (Q, p, A, b, G, u, l))
+        qp_s, xs, ys, zs, ses, sis = _forward_fn(spec, settings)(*arrays)
+        ctx.spec, ctx.settings = spec, settings
+        ctx.qp_scaled = qp_s
+        ctx.sol = (xs, ys, zs)
+        ctx.batched = batched
+        return xs, ys, zs, ses, sis
+
+    def _run_backward(ctx, dl_dx, dl_dy, dl_dz):
+        spec, settings = ctx.spec, ctx.settings
+        xs, ys, zs = ctx.sol
+        if not ctx.batched:
+            dl_dx, dl_dy, dl_dz = (t.unsqueeze(0) for t in
+                                   (dl_dx, dl_dy, dl_dz))
+        gx = jnp.asarray(_to_np(dl_dx))
+        gy = jnp.asarray(_to_np(dl_dy))
+        gz = jnp.asarray(_to_np(dl_dz))
+
+        bd = _backward_fn(spec, settings, eps_backward, rho_backward,
+                          mu_backward)(ctx.qp_scaled, xs, ys, zs, gx, gy, gz)
+        outs = (bd.dL_dH, bd.dL_dg, bd.dL_dA, bd.dL_db,
+                bd.dL_dC, bd.dL_dl, bd.dL_du)
+        outs = tuple(torch.from_numpy(np.asarray(o)) for o in outs)
+        if not ctx.batched:
+            outs = tuple(o.squeeze(0) for o in outs)
+        return outs
+
     class QPFunctionFn(torch.autograd.Function):
+        """Feasible path (reference qplayer.py:91-253)."""
+
         @staticmethod
         def forward(ctx, Q, p, A, b, G, l, u):
-            batched = p.dim() == 2
-            if not batched:
-                Q, p, A, b, G, l, u = (t.unsqueeze(0) for t in
-                                       (Q, p, A, b, G, l, u))
-            nBatch, n = p.shape
-            n_eq = A.shape[1] if A.numel() else 0
-            n_in = G.shape[1] if G.numel() else 0
-            spec = ProblemSpec(n=n, n_eq=n_eq, n_in=n_in)
-
-            arrays = tuple(jnp.asarray(_to_np(t)) for t in
-                           (Q, p, A, b, G, u, l))
-            qp_s, xs, ys, zs = _forward_fn(spec, settings)(*arrays)
-            ctx.spec, ctx.settings = spec, settings
-            ctx.qp_scaled = qp_s
-            ctx.sol = (xs, ys, zs)
-            ctx.batched = batched
+            xs, ys, zs, _, _ = _run_forward(ctx, Q, p, A, b, G, l, u)
             out = tuple(torch.from_numpy(np.asarray(v)) for v in (xs, ys, zs))
-            if not batched:
+            if not ctx.batched:
                 out = tuple(t.squeeze(0) for t in out)
             return out
 
         @staticmethod
         def backward(ctx, dl_dx, dl_dy, dl_dz):
-            spec, settings = ctx.spec, ctx.settings
-            xs, ys, zs = ctx.sol
-            if not ctx.batched:
-                dl_dx, dl_dy, dl_dz = (t.unsqueeze(0) for t in
-                                       (dl_dx, dl_dy, dl_dz))
-            gx = jnp.asarray(_to_np(dl_dx))
-            gy = jnp.asarray(_to_np(dl_dy))
-            gz = jnp.asarray(_to_np(dl_dz))
+            return _run_backward(ctx, dl_dx, dl_dy, dl_dz)
 
-            bd = _backward_fn(spec, settings, eps_backward, rho_backward,
-                              mu_backward)(ctx.qp_scaled, xs, ys, zs,
-                                           gx, gy, gz)
-            outs = (bd.dL_dH, bd.dL_dg, bd.dL_dA, bd.dL_db,
-                    bd.dL_dC, bd.dL_dl, bd.dL_du)
-            outs = tuple(torch.from_numpy(np.asarray(o)) for o in outs)
-            if not ctx.batched:
-                outs = tuple(o.squeeze(0) for o in outs)
-            return outs
+    class QPFunctionFn_infeas(torch.autograd.Function):
+        """Closest-feasible path (reference qplayer.py:255-610,
+        QPFunctionFn_infeas): the forward solve runs with
+        primal_infeasibility_solving, returning also the optimal shifts
+        (s_e, s_i) to the closest feasible problem. Gradients are the
+        extended conservative Jacobian taken at the closest-feasible
+        solution; shift cotangents chain through their defining
+        residual maps s_e = Ax - b, s_i = [Cx-u]_+ + [Cx-l]_-.
+        """
 
-    return QPFunctionFn.apply
+        @staticmethod
+        def forward(ctx, Q, p, A, b, G, l, u):
+            xs, ys, zs, ses, sis = _run_forward(ctx, Q, p, A, b, G, l, u)
+            ctx.data = tuple(np.asarray(_to_np(t)) for t in (A, G, l, u))
+            out = tuple(torch.from_numpy(np.asarray(v))
+                        for v in (xs, ys, zs, ses, sis))
+            if not ctx.batched:
+                out = tuple(t.squeeze(0) for t in out)
+            return out
+
+        @staticmethod
+        def backward(ctx, dl_dx, dl_dy, dl_dz, dl_dse, dl_dsi):
+            A_np, G_np, l_np, u_np = ctx.data
+            xs = np.asarray(ctx.sol[0])
+            was_batched = ctx.batched
+            if not was_batched:
+                dl_dx, dl_dy, dl_dz, dl_dse, dl_dsi = (
+                    t.unsqueeze(0) for t in
+                    (dl_dx, dl_dy, dl_dz, dl_dse, dl_dsi))
+            gse = _to_np(dl_dse)
+            gsi = _to_np(dl_dsi)
+            # chain the shift cotangents: s_e = A x - b,
+            # s_i = [Gx-u]_+ + [Gx-l]_-  (active-side masks)
+            Gx = np.einsum("bij,bj->bi", G_np, xs) if G_np.size else \
+                np.zeros_like(gsi)
+            up = Gx - u_np >= 0
+            low = Gx - l_np <= 0
+            gsi_m = gsi * (up | low)
+            extra_dx = (np.einsum("bij,bi->bj", A_np, gse)
+                        if A_np.size else 0.0) + \
+                       (np.einsum("bij,bi->bj", G_np, gsi_m)
+                        if G_np.size else 0.0)
+            dl_dx = dl_dx + torch.from_numpy(np.asarray(extra_dx))
+            ctx.batched = True  # inputs below carry an explicit batch axis
+            outs = list(_run_backward(ctx, dl_dx, dl_dy, dl_dz))
+            ctx.batched = was_batched
+            # direct shift gradients wrt b, u, l
+            outs[3] = outs[3] + torch.from_numpy(np.asarray(-gse))
+            outs[5] = outs[5] + torch.from_numpy(np.asarray(-gsi * low))
+            outs[6] = outs[6] + torch.from_numpy(np.asarray(-gsi * up))
+            if not was_batched:
+                outs = [o.squeeze(0) for o in outs]
+            return tuple(outs)
+
+    if structural_feasibility:
+        return QPFunctionFn.apply
+    return QPFunctionFn_infeas.apply

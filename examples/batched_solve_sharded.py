@@ -6,6 +6,7 @@ Run on CPU with a virtual mesh:
     XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
         python examples/batched_solve_sharded.py
 """
+import _common  # noqa: F401  (path + platform setup)
 import jax
 import jax.numpy as jnp
 import numpy as np

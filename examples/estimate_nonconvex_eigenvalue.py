@@ -1,5 +1,6 @@
 """Nonconvex QP: estimate the minimal Hessian eigenvalue and augment rho
 (reference examples/python/estimate_nonconvex_eigenvalue.py)."""
+import _common  # noqa: F401  (path + platform setup)
 import jax
 
 jax.config.update("jax_enable_x64", True)

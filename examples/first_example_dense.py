@@ -1,5 +1,6 @@
 """First dense QP example (reference examples/cpp/first_example_dense.cpp,
 examples/python/overview-simple.py)."""
+import _common  # noqa: F401  (path + platform setup)
 import jax
 
 jax.config.update("jax_enable_x64", True)

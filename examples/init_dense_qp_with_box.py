@@ -1,5 +1,6 @@
 """Box-constraint fast path (reference
 examples/python/init_dense_qp_with_box.py, benchmark/timings-box-constraints.cpp)."""
+import _common  # noqa: F401  (path + platform setup)
 import jax
 
 jax.config.update("jax_enable_x64", True)

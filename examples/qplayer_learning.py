@@ -2,6 +2,7 @@
 examples/python/qplayer_sudoku.py, simplified): learn the linear cost g so
 the QP solution matches a target, by gradient descent through the solver.
 """
+import _common  # noqa: F401  (path + platform setup)
 import jax
 
 jax.config.update("jax_enable_x64", True)

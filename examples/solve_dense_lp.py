@@ -1,5 +1,6 @@
 """LP fast path: HessianType.Zero skips every Hessian product
 (reference examples/python/solve_dense_lp.py, benchmark/timings-lp.cpp)."""
+import _common  # noqa: F401  (path + platform setup)
 import jax
 
 jax.config.update("jax_enable_x64", True)

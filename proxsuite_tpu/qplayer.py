@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from .api import build_scaled_qp, solve_scaled
-from .backward import compute_backward
+from .backward import compute_backward, compute_backward_infeasible
 from .types import ProblemSpec, Settings
 
 
@@ -64,6 +64,44 @@ def _qp_layer_bwd(spec, settings, backward_cfg, residuals, cotangents):
 
 
 _qp_layer_core.defvjp(_qp_layer_fwd, _qp_layer_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _qp_layer_infeas_core(spec, settings, backward_cfg, H, g, A, b, C, u, l):
+    """Closest-feasible (infeasible) variant: returns (x, y, z, se, si).
+
+    Counterpart of reference QPFunctionFn_infeas
+    (bindings/python/proxsuite/torch/qplayer.py:255-610); the backward is
+    the extended conservative-Jacobian adjoint
+    (backward.compute_backward_infeasible), NOT the standard KKT adjoint.
+    """
+    qp = build_scaled_qp(
+        spec, settings, H, g, A, b, C, u, l,
+        jnp.zeros((0,), H.dtype), jnp.zeros((0,), H.dtype),
+        execute_preconditioner=settings.compute_preconditioner)
+    res = solve_scaled(spec, settings, qp)
+    return res.x, res.y, res.z, res.se, res.si
+
+
+def _qp_layer_infeas_fwd(spec, settings, backward_cfg, H, g, A, b, C, u, l):
+    out = _qp_layer_infeas_core(spec, settings, backward_cfg,
+                                H, g, A, b, C, u, l)
+    return out, (H, A, C, l, u, *out)
+
+
+def _qp_layer_infeas_bwd(spec, settings, backward_cfg, residuals, cots):
+    H, A, C, l, u, x, y, z, se, si = residuals
+    gx, gy, gz, gse, gsi = cots
+    eps_bwd, rho_bwd, _ = backward_cfg
+    bd = compute_backward_infeasible(
+        H, A, C, l, u, x, y, z, se, si, gx, gy, gz, gse, gsi,
+        rho_backward=rho_bwd,
+        eps_active=max(10.0 * settings.eps_abs, 1e-9))
+    return (bd.dL_dH, bd.dL_dg, bd.dL_dA, bd.dL_db, bd.dL_dC,
+            bd.dL_du, bd.dL_dl)
+
+
+_qp_layer_infeas_core.defvjp(_qp_layer_infeas_fwd, _qp_layer_infeas_bwd)
 
 
 def QPFunction(
@@ -115,9 +153,16 @@ def QPFunction(
         lb = norm(None, (0,))
         spec = ProblemSpec(n=n, n_eq=n_eq, n_in=n_in, box_constraints=False)
 
-        fn = functools.partial(_qp_layer_core, spec, base, backward_cfg)
+        if structural_feasibility:
+            fn = functools.partial(_qp_layer_core, spec, base, backward_cfg)
+            if batched:
+                return jax.vmap(fn)(Q, p, A, b, G, u, l, ub, lb)
+            return fn(Q, p, A, b, G, u, l, ub, lb)
+        # infeasible variant returns (x, y, z, se, si) like the reference
+        fn = functools.partial(
+            _qp_layer_infeas_core, spec, base, backward_cfg)
         if batched:
-            return jax.vmap(fn)(Q, p, A, b, G, u, l, ub, lb)
-        return fn(Q, p, A, b, G, u, l, ub, lb)
+            return jax.vmap(fn)(Q, p, A, b, G, u, l)
+        return fn(Q, p, A, b, G, u, l)
 
     return layer

@@ -190,6 +190,21 @@ def inner_newton(
             jnp.logical_and(check, jnp.logical_not(is_prim_inf)),
             dual_infeasibility_certificate(spec, settings, qp, Adx, Cdx, Hdx, dx))
 
+        if settings.verbose:
+            # inner-iteration diagnostic line (reference solver.hpp:1021-1027)
+            _lb1 = (dy @ qp.b + positive_part(dz) @ qp.u
+                    - negative_part(dz) @ qp.l)
+            _lb2 = infty_norm((qp.A.T @ dy + qp.C.T @ dz) / (qp.delta_x * qp.c))
+            _ub = settings.eps_primal_inf * jnp.maximum(
+                infty_norm(unscale_y(qp, dy)), infty_norm(unscale_z(qp, dz)))
+            jax.debug.print(
+                "  [inner {k}] err_in={e:.3e} alpha={a:.3e} lin_err={le:.3e} "
+                "|dy|={ndy:.3e} |dz|={ndz:.3e} pinf={pi} dinf={di} "
+                "lb1={l1:.3e} lb2={l2:.3e} ub={u:.3e}",
+                k=s.k, e=err_in, a=alpha, le=lin_err,
+                ndy=infty_norm(dy), ndz=infty_norm(dz),
+                pi=is_prim_inf, di=is_dual_inf, l1=_lb1, l2=_lb2, u=_ub)
+
         status_n = jnp.where(
             is_prim_inf,
             jnp.asarray(int(QPSolverOutput.PROXQP_PRIMAL_INFEASIBLE), s.status.dtype),
@@ -203,16 +218,15 @@ def inner_newton(
             is_dual_inf)
         converged = err_in <= eps_int
 
-        # Stall break (TPU addition, no reference counterpart): when the
-        # inner error stops improving -- e.g. the f32 noise floor sits above
-        # eta_in -- hand control back to the BCL loop instead of spinning to
-        # max_iter_in. On a batched solve one stalled lane would otherwise
-        # serialize the whole batch. 10 consecutive iterations without a
-        # 0.1% improvement counts as stalled.
+        # Optional stall break (TPU addition, settings.inner_stall_iters;
+        # see types.py for semantics -- disabled by default).
         improved = err_in < 0.999 * s.best_err
         stalls = jnp.where(improved, 0, s.stalls + 1)
         best_err = jnp.minimum(s.best_err, err_in)
-        stalled = stalls >= 10
+        if settings.inner_stall_iters > 0:
+            stalled = stalls >= settings.inner_stall_iters
+        else:
+            stalled = jnp.asarray(False)
 
         done_n = jnp.logical_or(
             jnp.logical_or(jnp.logical_or(small, break_inf), converged),

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..api import build_scaled_qp, solve_scaled
-from ..backward import compute_backward
+from ..backward import compute_backward, compute_backward_infeasible
 from ..types import ProblemSpec, Settings
 
 
@@ -43,6 +43,16 @@ def _forward_fn(spec: ProblemSpec, settings: Settings):
             execute_preconditioner=settings.compute_preconditioner)
         res = solve_scaled(spec, settings, qp)
         return qp, res.x, res.y, res.z, res.se, res.si
+    return jax.jit(jax.vmap(one))
+
+
+@functools.lru_cache(maxsize=64)
+def _infeas_backward_fn(spec: ProblemSpec, rho_backward: float,
+                        eps_active: float):
+    def one(H, A, C, l_, u_, x, y, z, se, si, gx, gy, gz, gse, gsi):
+        return compute_backward_infeasible(
+            H, A, C, l_, u_, x, y, z, se, si, gx, gy, gz, gse, gsi,
+            rho_backward=rho_backward, eps_active=eps_active)
     return jax.jit(jax.vmap(one))
 
 
@@ -75,11 +85,26 @@ def QPFunction(
         eps_abs=eps, max_iter=maxIter,
         primal_infeasibility_solving=not structural_feasibility)
 
-    def _run_forward(ctx, Q, p, A, b, G, l, u):
-        batched = p.dim() == 2
+    def _expand_params(Q, p, A, b, G, l, u):
+        """Broadcast unbatched params over the batch (reference
+        utils.py expandParam: any param may omit the batch axis)."""
+        batched = max(Q.dim() - 1, p.dim(), A.dim() - 1, G.dim() - 1) == 2
         if not batched:
-            Q, p, A, b, G, l, u = (t.unsqueeze(0) for t in
-                                   (Q, p, A, b, G, l, u))
+            return False, tuple(t.unsqueeze(0) for t in (Q, p, A, b, G, l, u))
+        nB = max(t.shape[0] if t.dim() == d else 1 for t, d in
+                 ((Q, 3), (p, 2), (A, 3), (b, 2), (G, 3), (l, 2), (u, 2)))
+
+        def ex(t, d):
+            if t.dim() == d - 1:
+                t = t.unsqueeze(0)
+            return t.expand(nB, *t.shape[1:]) if t.shape[0] == 1 and nB > 1 \
+                else t
+        return True, (ex(Q, 3), ex(p, 2), ex(A, 3), ex(b, 2),
+                      ex(G, 3), ex(l, 2), ex(u, 2))
+
+    def _run_forward(ctx, Q, p, A, b, G, l, u):
+        batched, (Q, p, A, b, G, l, u) = _expand_params(Q, p, A, b, G, l, u)
+        ctx.batched_inputs = (Q, A, G, l, u)
         nBatch, n = p.shape
         n_eq = A.shape[1] if A.numel() else 0
         n_in = G.shape[1] if G.numel() else 0
@@ -132,15 +157,19 @@ def QPFunction(
         QPFunctionFn_infeas): the forward solve runs with
         primal_infeasibility_solving, returning also the optimal shifts
         (s_e, s_i) to the closest feasible problem. Gradients are the
-        extended conservative Jacobian taken at the closest-feasible
-        solution; shift cotangents chain through their defining
-        residual maps s_e = Ax - b, s_i = [Cx-u]_+ + [Cx-l]_-.
+        extended conservative-Jacobian adjoint of the shifted optimality
+        system (backward.compute_backward_infeasible), NOT the standard
+        KKT adjoint -- the solution does not satisfy the original KKT.
         """
 
         @staticmethod
         def forward(ctx, Q, p, A, b, G, l, u):
             xs, ys, zs, ses, sis = _run_forward(ctx, Q, p, A, b, G, l, u)
-            ctx.data = tuple(np.asarray(_to_np(t)) for t in (A, G, l, u))
+            ctx.sol_full = (xs, ys, zs, ses, sis)
+            # always-batched raw-data copies (ADVICE r1: storing possibly
+            # 2-D/1-D inputs crashed the batched backward)
+            ctx.data = tuple(jnp.asarray(_to_np(t))
+                             for t in ctx.batched_inputs)
             out = tuple(torch.from_numpy(np.asarray(v))
                         for v in (xs, ys, zs, ses, sis))
             if not ctx.batched:
@@ -149,34 +178,22 @@ def QPFunction(
 
         @staticmethod
         def backward(ctx, dl_dx, dl_dy, dl_dz, dl_dse, dl_dsi):
-            A_np, G_np, l_np, u_np = ctx.data
-            xs = np.asarray(ctx.sol[0])
+            Q_b, A_b, G_b, l_b, u_b = ctx.data
+            xs, ys, zs, ses, sis = ctx.sol_full
             was_batched = ctx.batched
             if not was_batched:
                 dl_dx, dl_dy, dl_dz, dl_dse, dl_dsi = (
                     t.unsqueeze(0) for t in
                     (dl_dx, dl_dy, dl_dz, dl_dse, dl_dsi))
-            gse = _to_np(dl_dse)
-            gsi = _to_np(dl_dsi)
-            # chain the shift cotangents: s_e = A x - b,
-            # s_i = [Gx-u]_+ + [Gx-l]_-  (active-side masks)
-            Gx = np.einsum("bij,bj->bi", G_np, xs) if G_np.size else \
-                np.zeros_like(gsi)
-            up = Gx - u_np >= 0
-            low = Gx - l_np <= 0
-            gsi_m = gsi * (up | low)
-            extra_dx = (np.einsum("bij,bi->bj", A_np, gse)
-                        if A_np.size else 0.0) + \
-                       (np.einsum("bij,bi->bj", G_np, gsi_m)
-                        if G_np.size else 0.0)
-            dl_dx = dl_dx + torch.from_numpy(np.asarray(extra_dx))
-            ctx.batched = True  # inputs below carry an explicit batch axis
-            outs = list(_run_backward(ctx, dl_dx, dl_dy, dl_dz))
-            ctx.batched = was_batched
-            # direct shift gradients wrt b, u, l
-            outs[3] = outs[3] + torch.from_numpy(np.asarray(-gse))
-            outs[5] = outs[5] + torch.from_numpy(np.asarray(-gsi * low))
-            outs[6] = outs[6] + torch.from_numpy(np.asarray(-gsi * up))
+            cots = tuple(jnp.asarray(_to_np(t)) for t in
+                         (dl_dx, dl_dy, dl_dz, dl_dse, dl_dsi))
+            spec = ctx.spec
+            bd = _infeas_backward_fn(spec, rho_backward,
+                                     max(10.0 * eps, 1e-9))(
+                Q_b, A_b, G_b, l_b, u_b, xs, ys, zs, ses, sis, *cots)
+            outs = [torch.from_numpy(np.asarray(o)) for o in
+                    (bd.dL_dH, bd.dL_dg, bd.dL_dA, bd.dL_db,
+                     bd.dL_dC, bd.dL_dl, bd.dL_du)]
             if not was_batched:
                 outs = [o.squeeze(0) for o in outs]
             return tuple(outs)

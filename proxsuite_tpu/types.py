@@ -114,6 +114,14 @@ class Settings:
     max_iter: int = 10000
     max_iter_in: int = 1500
     safe_guard: int = 10000
+    # TPU addition (no reference counterpart): break the inner Newton loop
+    # after this many consecutive non-improving iterations. 0 disables the
+    # break (reference behavior: only the 1e-11 small-step break applies).
+    # Intended for f32 batched solves where one lane sitting at the noise
+    # floor above eta_in would serialize the whole batch; harmful at high
+    # accuracy -- slow active-set discovery through tiny linesearch steps
+    # looks exactly like a stall (QSCFXM1 needs ~50 flat iterations).
+    inner_stall_iters: int = 0
     nb_iterative_refinement: int = 10
     eps_refact: float = 1e-6
 

@@ -80,3 +80,35 @@ def test_batched_layer_grad_runs():
     gr = jax.grad(loss)(g)
     assert gr.shape == g.shape
     assert np.all(np.isfinite(np.asarray(gr)))
+
+
+def test_jax_qplayer_infeasible_variant():
+    """JAX-native infeasible variant returns shifts and yields finite,
+    descent-direction gradients through the extended adjoint
+    (reference QPFunctionFn_infeas semantics)."""
+    import jax
+    import jax.numpy as jnp
+    from proxsuite_tpu.qplayer import QPFunction
+
+    H = jnp.eye(2)
+    g = jnp.array([0.0, 0.3])
+    A = jnp.array([[1.0, 0.2]])
+    b = jnp.array([1.0])
+    C = jnp.array([[1.0, 0.0], [0.0, 1.0]])
+    u = jnp.array([-1.0, 5.0])
+    l = jnp.array([-9.0, -5.0])
+    layer = QPFunction(eps=1e-10, maxIter=1000,
+                       structural_feasibility=False)
+
+    def loss(Av, Gv):
+        x, y, z, se, si = layer(H, g, Av, b, Gv, l, u)
+        return (se ** 2).sum() + (si ** 2).sum()
+
+    l0, grads = jax.value_and_grad(loss, argnums=(0, 1))(A, C)
+    assert float(l0) > 1e-2
+    gA, gG = grads
+    assert jnp.isfinite(gA).all() and jnp.isfinite(gG).all()
+    assert float(jnp.abs(gA).max()) < 1e3
+    step = 1e-4
+    l1 = loss(A - step * gA, C - step * gG)
+    assert float(l1) < float(l0)

@@ -1,25 +1,27 @@
-"""Benchmark: batched dense QP throughput on one TPU chip.
+"""Benchmark: batched dense QP throughput on one TPU chip vs REAL ProxQP.
 
 Workload mirrors the reference batch benchmark
-(/root/reference/benchmark/timings-parallel.cpp:19-35): dense QPs with
-n=100, n_eq=n_in=50, sparsity 0.15. The reference solves 1024 such QPs at
-eps_abs=1e-9 in f64 on CPU threads; here the batch is vmapped onto the
-TPU's MXU.
+(/root/reference/benchmark/timings-parallel.cpp:19-35): dense
+strongly-convex QPs with n=100, n_eq=n_in=50. The reference solves 1024
+such QPs at eps_abs=1e-9 in f64 on CPU threads; here the batch is vmapped
+onto the TPU's MXU, and the north-star run streams 100k QPs through the
+chip in chunks (BASELINE.json: "solve 100k batched dense QPs faster
+per-QP than ProxQP dense on one CPU core").
 
-Precision note: TPU v5e has no native f64; f64 runs are slow emulation.
-The headline metric is f32 at eps_abs=1e-4 (achievable in single
-precision after Ruiz equilibration); an f64-on-TPU number is also printed
-for the reference-accuracy configuration when feasible.
+Baseline: the actual reference solver, compiled unmodified from
+/root/reference/include (see native/ref_baseline/), solving the IDENTICAL
+128 base problems serially on one CPU core at matching eps. The measured
+numbers are cached in BASELINE_CPU.json with provenance; bench.py
+re-measures when the binary is available.
 
-Baseline: the reference publishes no absolute numbers in-tree
-(BASELINE.md) and cannot be built here (no Eigen in the image), so the
-baseline is *measured at bench time* with the framework's own native C++
-CPU solver (native/proxqp_cpu.cpp — same algorithm, OpenMP batch, the
-reference's deployment model) on ONE core of this machine at the same
-eps. vs_baseline = cpu_per_qp / tpu_per_qp (>1 = one TPU chip beats one
-CPU core per QP).
+Precision note: TPU v5e has no native f64. The headline run is f32 at
+eps_abs=1e-4 compared against the reference at the same eps; the
+reference-accuracy (1e-9) baseline number is also recorded for context
+(see BASELINE_CPU.json / docs/4-performance.md).
 """
 import json
+import os
+import subprocess
 import time
 
 import numpy as np
@@ -27,87 +29,153 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-
-def measure_cpu_baseline(qps, eps, sample=64, n_threads=1):
-    """Per-QP seconds for the native CPU solver on `sample` problems."""
-    from proxsuite_tpu.cpu import solve_batch_cpu
-    sub = qps[:sample]
-    H = np.stack([q.H for q in sub]); g = np.stack([q.g for q in sub])
-    A = np.stack([q.A for q in sub]); b = np.stack([q.b for q in sub])
-    C = np.stack([q.C for q in sub]); u = np.stack([q.u for q in sub])
-    l = np.stack([q.l for q in sub])
-    solve_batch_cpu(H[:2], g[:2], A[:2], b[:2], C[:2], u[:2], l[:2],
-                    eps_abs=eps, n_threads=n_threads)  # warm up
-    t0 = time.perf_counter()
-    r = solve_batch_cpu(H, g, A, b, C, u, l, eps_abs=eps,
-                        n_threads=n_threads)
-    t = time.perf_counter() - t0
-    return t / len(sub), int((r.status == 0).sum())
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(REPO, "BASELINE_CPU.json")
+QPS_BIN = "/tmp/bench_qps.bin"
 
 
-def build_batch(B, n, n_eq, n_in, dtype, seed=0):
-    from proxsuite_tpu.utils.random_qp import dense_strongly_convex_qp
-    qps = [dense_strongly_convex_qp(n, n_eq, n_in, seed=seed + i,
-                                    sparsity=0.15, dtype=np.float64)
-           for i in range(B)]
-    st = lambda f: jnp.asarray(np.stack([np.asarray(f(q)) for q in qps]), dtype)
-    return qps, (st(lambda q: q.H), st(lambda q: q.g), st(lambda q: q.A),
-                 st(lambda q: q.b), st(lambda q: q.C), st(lambda q: q.u),
-                 st(lambda q: q.l))
+def measure_reference_baseline(eps_values=(1e-4, 1e-9)):
+    """ms/QP of the real reference ProxQP, one core, identical problems.
+
+    Builds native/ref_baseline/bench_qps on demand; falls back to the
+    committed BASELINE_CPU.json if the toolchain is unavailable.
+    """
+    bdir = os.path.join(REPO, "native", "ref_baseline")
+    exe = os.path.join(bdir, "bench_qps")
+    try:
+        if not os.path.exists(exe):
+            subprocess.run(["bash", "build.sh"], cwd=bdir, check=True,
+                           capture_output=True, timeout=600)
+        if not os.path.exists(QPS_BIN):
+            from scripts.make_bench_qps import dump, generate
+            dump(generate(), QPS_BIN)
+        out = {}
+        for eps in eps_values:
+            r = subprocess.run([exe, QPS_BIN, str(eps), "0"], check=True,
+                               capture_output=True, text=True, timeout=600)
+            out[f"eps_{eps:g}"] = json.loads(r.stdout.strip())
+        out["provenance"] = (
+            "reference proxsuite v0.7.2 headers (read-only checkout), "
+            "g++ -O3 -march=x86-64-v3, Eigen from the image's tensorflow "
+            "bundle, serial (1 core), 128 problems identical to the TPU "
+            "batch's base set")
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump(out, f, indent=1)
+        return out
+    except Exception:
+        if os.path.exists(BASELINE_CACHE):
+            with open(BASELINE_CACHE) as f:
+                return json.load(f)
+        return None
 
 
-def run(B=1024, n=100, n_eq=50, n_in=50, dtype=jnp.float32, eps=1e-4,
-        iters=3):
+def build_batch(B, dtype):
+    """B QPs = the 128 shared base problems tiled (exact copies)."""
+    from scripts.make_bench_qps import B_UNIQUE, generate
+    qps = generate()
+    reps = -(-B // B_UNIQUE)
+
+    def st(f):
+        base = np.stack([np.asarray(f(q)) for q in qps])
+        return jnp.asarray(np.tile(base, (reps,) + (1,) * (base.ndim - 1))[:B],
+                           dtype)
+    return (st(lambda q: q.H), st(lambda q: q.g), st(lambda q: q.A),
+            st(lambda q: q.b), st(lambda q: q.C), st(lambda q: q.u),
+            st(lambda q: q.l))
+
+
+def run(B, dtype=jnp.float32, eps=1e-4, iters=3):
     from proxsuite_tpu.parallel.batch import _solve_batch_jit
     from proxsuite_tpu.types import ProblemSpec, Settings
 
+    n, n_eq, n_in = 100, 50, 50
     spec = ProblemSpec(n=n, n_eq=n_eq, n_in=n_in)
-    # max_iter_in capped for the batched regime: one stalled lane would
-    # otherwise serialize the whole batch at the reference default of 1500
-    # (the solver also has a stall break, solver.py inner_newton)
-    settings = Settings(eps_abs=eps, max_iter=200, max_iter_in=200)
-    qps, (H, g, A, b, C, u, l) = build_batch(B, n, n_eq, n_in, dtype)
+    # Batched-regime caps: one straggler lane serializes the whole batch,
+    # so the inner loop gets the f32 stall break (inner_stall_iters) and
+    # bounded iteration counts. max-iter hits are REPORTED (max_iter_hit),
+    # not silently dropped.
+    settings = Settings(eps_abs=eps, max_iter=200, max_iter_in=200,
+                        inner_stall_iters=20)
+    H, g, A, b, C, u, l = build_batch(B, dtype)
     zb = jnp.zeros((B, 0), dtype)
 
     args = (H, g, A, b, C, u, l, zb, zb)
     res = _solve_batch_jit(spec, settings, *args)  # compile + warm
-    solved = int(jnp.sum(res.info.status == 0))   # host read = hard sync
+    solved = int(jnp.sum(res.info.status == 0))    # host read = hard sync
 
     times = []
     for k in range(iters):
-        # fresh g each run prevents any executor-level memoization; a host
+        # fresh g each run prevents executor-level memoization; a host
         # read inside the timed region forces completion (the experimental
         # axon platform's block_until_ready is not reliable)
-        gk = g + jnp.float32(1e-4 * (k + 1))
+        gk = g + jnp.asarray(1e-5 * (k + 1), dtype)
         t0 = time.perf_counter()
         res = _solve_batch_jit(spec, settings, H, gk, *args[2:])
         n_ok = int(jnp.sum(res.info.status == 0))
         times.append(time.perf_counter() - t0)
         solved = min(solved, n_ok)
     t = min(times)
-    return t, solved, res, qps
+    max_iter_hit = int(jnp.sum(res.info.iter_ext >= settings.max_iter))
+    mean_iter = float(jnp.mean(res.info.iter))
+    return t, solved, max_iter_hit, mean_iter
+
+
+def run_northstar(total=100_000, chunk=4096, dtype=jnp.float32, eps=1e-4):
+    """Stream `total` QPs through the chip in chunks (north-star metric).
+
+    Each chunk reuses the base problem set with a per-chunk gradient
+    offset (distinct QPs of identical difficulty); timing covers every
+    chunk end-to-end including host sync.
+    """
+    from proxsuite_tpu.parallel.batch import _solve_batch_jit
+    from proxsuite_tpu.types import ProblemSpec, Settings
+
+    spec = ProblemSpec(n=100, n_eq=50, n_in=50)
+    settings = Settings(eps_abs=eps, max_iter=200, max_iter_in=200,
+                        inner_stall_iters=20)
+    H, g, A, b, C, u, l = build_batch(chunk, dtype)
+    zb = jnp.zeros((chunk, 0), dtype)
+    _solve_batch_jit(spec, settings, H, g, A, b, C, u, l, zb, zb)  # warm
+
+    n_chunks = -(-total // chunk)
+    solved = 0
+    t0 = time.perf_counter()
+    for k in range(n_chunks):
+        gk = g + jnp.asarray(1e-5 * k, dtype)
+        res = _solve_batch_jit(spec, settings, H, gk, A, b, C, u, l, zb, zb)
+        solved += int(jnp.sum(res.info.status == 0))
+    t = time.perf_counter() - t0
+    return t, n_chunks * chunk, solved
 
 
 def main():
-    B, n, n_eq, n_in, eps = 1024, 100, 50, 50, 1e-4
-    t, solved, res, qps = run(B=B, n=n, n_eq=n_eq, n_in=n_in, eps=eps)
-    per_qp = t / B
-    try:
-        cpu_per_qp, cpu_solved = measure_cpu_baseline(qps, eps)
-    except Exception:
-        cpu_per_qp, cpu_solved = float("nan"), 0
+    eps = 1e-4
+    baseline = measure_reference_baseline()
+    t1k, solved1k, max_hit, mean_iter = run(B=1024, eps=eps)
+    tns, n_ns, solved_ns = run_northstar()
+    per_qp_ns = tns / n_ns
+
+    cpu_ms = (baseline or {}).get(f"eps_{eps:g}", {}).get("ms_per_qp",
+                                                          float("nan"))
+    cpu_ms_hi = (baseline or {}).get("eps_1e-09", {}).get("ms_per_qp",
+                                                          float("nan"))
     out = {
-        "metric": "batched dense QP (n=100,n_eq=n_in=50,f32,eps=1e-4) QPs/sec/chip",
-        "value": round(B / t, 1),
+        "metric": ("100k batched dense QPs (n=100,n_eq=n_in=50,f32,"
+                   "eps=1e-4) QPs/sec/chip vs reference ProxQP 1-core"),
+        "value": round(n_ns / tns, 1),
         "unit": "QPs/sec",
-        "vs_baseline": round(cpu_per_qp / per_qp, 3),
-        "solved": solved,
-        "batch": B,
-        "sec_per_batch": round(t, 4),
-        "cpu_1core_ms_per_qp": round(1e3 * cpu_per_qp, 4),
-        "tpu_ms_per_qp": round(1e3 * per_qp, 4),
-        "mean_iter": round(float(jnp.mean(res.info.iter)), 1),
+        "vs_baseline": round(cpu_ms / (1e3 * per_qp_ns), 3),
+        "solved": solved_ns,
+        "total_qps": n_ns,
+        "tpu_ms_per_qp": round(1e3 * per_qp_ns, 4),
+        "tpu_ms_per_qp_b1024": round(1e3 * t1k / 1024, 4),
+        "ref_cpu_ms_per_qp_eps1e-4": cpu_ms,
+        "ref_cpu_ms_per_qp_eps1e-9": cpu_ms_hi,
+        "solved_b1024": solved1k,
+        "max_iter_hit_b1024": max_hit,
+        "mean_iter": round(mean_iter, 1),
         "device": str(jax.devices()[0]),
+        "baseline_provenance": (baseline or {}).get("provenance", "missing"),
     }
     print(json.dumps(out))
 

@@ -13,6 +13,5 @@ REF=/root/reference/include
 CXXFLAGS="-O3 -march=x86-64-v3 -DNDEBUG -std=c++17 -Ishim -I$REF -I$EIGEN"
 
 g++ $CXXFLAGS solve_qp.cpp -o solve_qp
-g++ $CXXFLAGS -fopenmp bench_parallel.cpp -o bench_parallel 2>/dev/null || \
-  echo "bench_parallel.cpp not present or failed; skipping"
-echo "built: $(ls solve_qp bench_parallel 2>/dev/null)"
+g++ $CXXFLAGS -fopenmp bench_qps.cpp -o bench_qps
+echo "built: $(ls solve_qp bench_qps 2>/dev/null)"

@@ -194,13 +194,56 @@ def compute_backward(qp: QP, loss_derivative, eps: float = 1e-4,
     return qp.model.backward_data
 
 
+import functools as _functools
+
+import jax as _jax
+import jax.numpy as _jnp
+
+
+@_functools.lru_cache(maxsize=64)
+def _batched_backward_fn(spec, settings, eps, rho_backward, mu_backward):
+    from ..backward import compute_backward as _cb
+
+    def one(qp_scaled, x, y, z, gx, gy, gz):
+        return _cb(spec, settings, qp_scaled, x, y, z, gx, gy, gz,
+                   eps=eps, rho_backward=rho_backward,
+                   mu_backward=mu_backward)
+    return _jax.jit(_jax.vmap(one))
+
+
 def solve_backward_in_parallel(qps, loss_derivatives,
                                num_threads: Optional[int] = None,
                                eps: float = 1e-4,
                                rho_backward: float = 1e-6,
                                mu_backward: float = 1e-6) -> None:
-    """Batched backward passes (reference parallel/qp_solve.hpp:86-138)."""
+    """Batched backward passes over already-solved QPs: ONE vmapped adjoint
+    program over the stacked per-QP state, the TPU counterpart of the
+    reference's OpenMP loop (parallel/qp_solve.hpp:86-138). num_threads is
+    accepted for API compatibility and ignored (vmap lanes are the
+    parallelism). Gradients land in each qp.model.backward_data."""
     items = qps._qps if isinstance(qps, BatchQP) else list(qps)
-    for qp, ld in zip(items, loss_derivatives):
-        compute_backward(qp, ld, eps=eps, rho_backward=rho_backward,
-                         mu_backward=mu_backward)
+    if not items:
+        return
+    cores = [q._core for q in items]
+    for c in cores:
+        if c.results is None:
+            raise RuntimeError("every QP must be solved before the "
+                               "parallel backward pass")
+    sp = cores[0].spec
+    if any(c.spec != sp for c in cores[1:]):
+        raise ValueError("parallel backward requires same-shape QPs")
+    qp_batch = _jax.tree.map(lambda *xs: _jnp.stack(xs),
+                             *[c._scaled for c in cores])
+    xs = _jnp.stack([c.results.x for c in cores])
+    ys = _jnp.stack([c.results.y for c in cores])
+    zs = _jnp.stack([c.results.z for c in cores])
+    lds = _jnp.stack([_jnp.asarray(ld, xs.dtype)
+                      for ld in loss_derivatives])
+    gx = lds[:, : sp.n]
+    gy = lds[:, sp.n: sp.n + sp.n_eq]
+    gz = lds[:, sp.n + sp.n_eq:]
+    fn = _batched_backward_fn(sp, cores[0].settings, eps,
+                              rho_backward, mu_backward)
+    bd = fn(qp_batch, xs, ys, zs, gx, gy, gz)
+    for i, c in enumerate(cores):
+        c.backward_data = _jax.tree.map(lambda a, i=i: a[i], bd)

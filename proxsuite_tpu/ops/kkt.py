@@ -53,6 +53,10 @@ _PREC = lax.Precision.HIGHEST
 
 
 def _mm(a, b):
+    if not isinstance(a, jax.Array):
+        # sparse operand (BCOO, matrix-free backend): dispatch to its own
+        # matmul (gather + segment-sum, full precision by construction)
+        return a @ b
     return jnp.matmul(a, b, precision=_PREC)
 
 

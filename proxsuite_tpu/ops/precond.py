@@ -161,6 +161,90 @@ def ruiz_equilibrate(
     return lax.while_loop(cond, body, init)
 
 
+def ruiz_equilibrate_sparse(
+    H, g, A, b, C, u, l,
+    *,
+    hessian_type: HessianType = HessianType.Dense,
+    max_iter: int = 10,
+    epsilon: float = 1e-3,
+    infeasibility_preconditioning: bool = False,
+) -> RuizState:
+    """Ruiz equilibration over BCOO operands (H, A, C sparse).
+
+    Same semantics as ruiz_equilibrate / the reference sparse Ruiz
+    (/root/reference/include/proxsuite/proxqp/sparse/preconditioner/
+    ruiz.hpp:113-334); norms and scalings act on (data, indices) so the
+    sparsity pattern is static and the loop carries a fixed pytree.
+    """
+    from . import sparse_ops as sp
+
+    dtype = H.dtype
+    n = H.shape[0]
+    n_eq = A.shape[0]
+    n_c = C.shape[0]
+    eps_machine = jnp.finfo(dtype).eps
+
+    def delta_from(norms):
+        aux = jnp.sqrt(norms)
+        return jnp.where(aux == 0, jnp.ones_like(aux),
+                         1.0 / (aux + eps_machine))
+
+    def body(s: RuizState) -> RuizState:
+        colA = sp.col_max_abs(s.A)
+        colC = sp.col_max_abs(s.C)
+        if hessian_type == HessianType.Dense:
+            colH = sp.col_max_abs(s.H)
+            dx = delta_from(jnp.maximum(jnp.maximum(colH, colA), colC))
+        else:  # Zero (sparse path restricts to Dense/Zero hessians)
+            dx = delta_from(jnp.maximum(colA, colC))
+
+        if infeasibility_preconditioning:
+            dy = jnp.ones((n_eq,), dtype)
+            dz = jnp.ones((n_c,), dtype)
+        else:
+            dy = delta_from(sp.row_max_abs(s.A))
+            dz = delta_from(sp.row_max_abs(s.C))
+
+        A_new = sp.scale_rows_cols(s.A, dy, dx)
+        C_new = sp.scale_rows_cols(s.C, dz, dx)
+        g_new = s.g * dx
+        b_new = s.b * dy
+        u_new = s.u * dz
+        l_new = s.l * dz
+
+        if hessian_type == HessianType.Dense:
+            H_new = sp.scale_rows_cols(s.H, dx, dx)
+            gamma = 1.0 / jnp.maximum(
+                jnp.asarray(1.0, dtype), jnp.mean(sp.col_max_abs(H_new)))
+            H_new = sp.scale_data(H_new, gamma)
+        else:
+            H_new = s.H
+            gamma = jnp.asarray(1.0, dtype)
+        g_new = g_new * gamma
+
+        delta_round = jnp.concatenate([dx, dy, dz])
+        err = infty_norm(1.0 - delta_round)
+        return RuizState(
+            H=H_new, g=g_new, A=A_new, b=b_new, C=C_new, u=u_new, l=l_new,
+            delta_x=s.delta_x * dx, delta_y=s.delta_y * dy,
+            delta_z=s.delta_z * dz,
+            c=s.c * gamma, err=err, it=s.it + 1)
+
+    init = RuizState(
+        H=H, g=g, A=A, b=b, C=C, u=u, l=l,
+        delta_x=jnp.ones((n,), dtype),
+        delta_y=jnp.ones((n_eq,), dtype),
+        delta_z=jnp.ones((n_c,), dtype),
+        c=jnp.asarray(1.0, dtype),
+        err=jnp.asarray(jnp.inf, dtype),
+        it=jnp.asarray(0, jnp.int32))
+
+    def cond(s: RuizState):
+        return jnp.logical_and(s.err > epsilon, s.it < max_iter - 1)
+
+    return lax.while_loop(cond, body, init)
+
+
 def apply_existing_scaling(
     H, g, A, b, C, u, l, delta_x, delta_y, delta_z, c, *,
     hessian_type: HessianType = HessianType.Dense,

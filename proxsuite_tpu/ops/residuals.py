@@ -174,14 +174,19 @@ def global_dual_residual(
     rhs_1 = infty_norm(ATy * inv_dxc)
 
     # generic and box contributions kept separate for the relative criterion
-    # (utils.hpp:508-526 takes the max of the two norms)
-    CTz_in = qp.C[: spec.n_in].T @ z[: spec.n_in]
-    rhs_3 = infty_norm(CTz_in * inv_dxc)
-    dr = dr + CTz_in
+    # (utils.hpp:508-526 takes the max of the two norms); without box rows
+    # the unsliced product also works for sparse (BCOO) C
     if spec.box_constraints:
+        CTz_in = qp.C[: spec.n_in].T @ z[: spec.n_in]
+        rhs_3 = infty_norm(CTz_in * inv_dxc)
+        dr = dr + CTz_in
         CTz_box = qp.C[spec.n_in:].T @ z[spec.n_in:]
         rhs_3 = jnp.maximum(rhs_3, infty_norm(CTz_box * inv_dxc))
         dr = dr + CTz_box
+    else:
+        CTz_in = qp.C.T @ z
+        rhs_3 = infty_norm(CTz_in * inv_dxc)
+        dr = dr + CTz_in
 
     dua_lhs = infty_norm(dr * inv_dxc)
 

@@ -17,10 +17,19 @@ import numpy as np
 from ..types import Results, Settings
 
 _SETTINGS_FIELDS = {f.name for f in dataclasses.fields(Settings)}
-# reference-name -> core-name aliases (settings.hpp:87-316)
-_ALIASES = {
-    "preconditioner_accuracy": "preconditioner_accuracy",
-    "preconditioner_max_iter": "preconditioner_max_iter",
+# Inverse-representation mirrors the reference carries alongside the
+# canonical knobs (settings.hpp:150-171; used in lockstep at
+# solver.hpp:600-612): assignment maps onto the canonical field.
+_INVERSE_ALIASES = {
+    "mu_max_eq_inv": "mu_min_eq",
+    "mu_max_in_inv": "mu_min_in",
+    "mu_update_inv_factor": "mu_update_factor",
+}
+# Accepted-and-ignored knobs: dead in the reference too (only
+# settings.hpp/serialization/bindings mention them; no solver reads).
+_DEAD_REFERENCE_KNOBS = {
+    "refactor_dual_feasibility_threshold",
+    "refactor_rho_threshold",
 }
 
 
@@ -30,14 +39,26 @@ class MutableSettings:
     def __init__(self, base: Optional[Settings] = None):
         object.__setattr__(self, "_values",
                            dataclasses.asdict(base or Settings()))
+        object.__setattr__(self, "_dead", {})
 
     def __getattr__(self, name):
+        if name in _INVERSE_ALIASES:
+            return 1.0 / object.__getattribute__(
+                self, "_values")[_INVERSE_ALIASES[name]]
+        if name in _DEAD_REFERENCE_KNOBS:
+            return object.__getattribute__(self, "_dead").get(name)
         try:
             return object.__getattribute__(self, "_values")[name]
         except KeyError:
             raise AttributeError(name) from None
 
     def __setattr__(self, name, value):
+        if name in _INVERSE_ALIASES:
+            self._values[_INVERSE_ALIASES[name]] = 1.0 / value
+            return
+        if name in _DEAD_REFERENCE_KNOBS:
+            self._dead[name] = value
+            return
         if name not in _SETTINGS_FIELDS:
             raise AttributeError(
                 f"unknown setting '{name}' (reference settings.hpp:87-316)")

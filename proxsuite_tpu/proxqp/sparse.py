@@ -91,8 +91,9 @@ class QP:
 
 def solve(H=None, g=None, A=None, b=None, C=None, l=None, u=None,
           x=None, y=None, z=None, **kwargs) -> ResultsView:
-    """Stateless sparse solve (reference sparse/wrapper.hpp:711)."""
-    if x is not None:
-        kwargs.setdefault("initial_guess", None)
-    res = _sparse.solve(H=H, g=g, A=A, b=b, C=C, l=l, u=u, **kwargs)
+    """Stateless sparse solve (reference sparse/wrapper.hpp:711). The
+    warm-start triple (x, y, z) is forwarded to the core (ADVICE r1: it
+    used to be silently dropped)."""
+    res = _sparse.solve(H=H, g=g, A=A, b=b, C=C, l=l, u=u,
+                        x=x, y=y, z=z, **kwargs)
     return ResultsView(res)

@@ -94,16 +94,16 @@ class Settings:
     alpha_bcl: float = 0.1
     beta_bcl: float = 0.9
 
-    refactor_dual_feasibility_threshold: float = 1e-2
-    refactor_rho_threshold: float = 1e-7
-
+    # NOTE: the reference also carries refactor_dual_feasibility_threshold,
+    # refactor_rho_threshold (dead even in the reference: only settings.hpp/
+    # serialization/bindings mention them) and the inverse-representation
+    # mirrors mu_max_{eq,in}_inv / mu_update_inv_factor (reference tracks mu
+    # and mu_inv redundantly, solver.hpp:600-612). This core keeps only the
+    # canonical knobs; the proxqp compat layer accepts and maps the mirrors.
     mu_min_eq: float = 1e-9
     mu_min_in: float = 1e-8
-    mu_max_eq_inv: float = 1e9
-    mu_max_in_inv: float = 1e8
 
     mu_update_factor: float = 0.1
-    mu_update_inv_factor: float = 10.0
 
     cold_reset_mu_eq: float = 1.0 / 1.1
     cold_reset_mu_in: float = 1.0 / 1.1

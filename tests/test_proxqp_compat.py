@@ -117,3 +117,20 @@ def test_sparse_qp_compat():
     qp.solve()
     pri, dua = kkt_residuals(d, qp.results.x, qp.results.y, qp.results.z)
     assert pri < 1e-9 and dua < 1e-9
+
+
+def test_inverse_mirror_settings_map():
+    """The reference's inverse-representation knobs (settings.hpp:150-171)
+    map onto the canonical fields; dead reference knobs are accepted."""
+    import proxsuite_tpu.proxqp as proxqp
+    qp = proxqp.dense.QP(4, 0, 2)
+    qp.settings.mu_max_eq_inv = 1e6          # -> mu_min_eq = 1e-6
+    qp.settings.mu_update_inv_factor = 5.0   # -> mu_update_factor = 0.2
+    qp.settings.refactor_rho_threshold = 1e-7  # dead in reference too
+    frozen = qp.settings.freeze()
+    assert frozen.mu_min_eq == 1e-6
+    assert abs(frozen.mu_update_factor - 0.2) < 1e-15
+    assert qp.settings.mu_max_eq_inv == 1e6
+    import pytest as _pytest
+    with _pytest.raises(AttributeError):
+        qp.settings.not_a_real_setting = 1.0

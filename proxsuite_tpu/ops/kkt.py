@@ -230,8 +230,31 @@ def kkt_residual(
     r1: jax.Array,
     r2: jax.Array,
     r3: jax.Array,
+    high_accuracy: bool = False,
 ):
-    """rhs - K_masked @ dw (reference iterative_residual, solver.hpp:243-318)."""
+    """rhs - K_masked @ dw (reference iterative_residual, solver.hpp:243-318).
+
+    high_accuracy: the residual is the cancellation of O(1) terms down to
+    the refinement target, so the matvecs run exact (Ozaki split) and
+    combine in double-float before collapsing (see ops/df.py) -- the f32
+    equivalent of the reference's extra-precise refinement residual.
+    """
+    if high_accuracy and isinstance(op.H, jax.Array) \
+            and spec.hessian_type == HessianType.Dense:
+        from .df import df_add, df_add_f32, df_neg, df_to_f32, exact_matvec
+        Hdx_df = exact_matvec(op.H, dx)
+        s1 = df_add(df_add(df_add_f32(Hdx_df, rho * dx),
+                           exact_matvec(op.A.T, dy)),
+                    exact_matvec(op.C.T, sys.mask * dz))
+        err1 = df_to_f32(df_add_f32(df_neg(s1), r1))
+        Adx_df = exact_matvec(op.A, dx)
+        err2 = df_to_f32(df_add_f32(
+            df_neg(df_add_f32(Adx_df, -sys.mu_eq * dy)), r2))
+        Cdx_df = exact_matvec(op.C, dx)
+        Cdx_m = (sys.mask * Cdx_df[0], sys.mask * Cdx_df[1])
+        err3 = df_to_f32(df_add_f32(
+            df_neg(df_add_f32(Cdx_m, -sys.mu_in * dz)), r3))
+        return err1, err2, err3
     if spec.hessian_type == HessianType.Zero:
         Hdx = jnp.zeros_like(dx)
     elif spec.hessian_type == HessianType.Diagonal:
@@ -317,8 +340,11 @@ def solve_with_refinement(
         def solve_fn(a, b, c):
             return kkt_apply_inverse(spec, f, op, sys, a, b, c)
 
+    ha = settings.high_accuracy
+
     dx, dy, dz = solve_fn(r1, r2, r3)
-    e1, e2, e3 = kkt_residual(spec, op, sys, rho, dx, dy, dz, r1, r2, r3)
+    e1, e2, e3 = kkt_residual(spec, op, sys, rho, dx, dy, dz, r1, r2, r3,
+                              high_accuracy=ha)
     err = jnp.maximum(jnp.maximum(infty_norm(e1), infty_norm(e2)), infty_norm(e3))
 
     def cond(carry):
@@ -332,7 +358,8 @@ def solve_with_refinement(
         dx, dy, dz, e1, e2, e3, err, preverr, it, strikes = carry
         cx, cy, cz = solve_fn(e1, e2, e3)
         dx, dy, dz = dx + cx, dy + cy, dz + cz
-        e1, e2, e3 = kkt_residual(spec, op, sys, rho, dx, dy, dz, r1, r2, r3)
+        e1, e2, e3 = kkt_residual(spec, op, sys, rho, dx, dy, dz, r1, r2, r3,
+                                  high_accuracy=ha)
         new_err = jnp.maximum(
             jnp.maximum(infty_norm(e1), infty_norm(e2)), infty_norm(e3))
         strikes = jnp.where(new_err > err, strikes + 1, 0)

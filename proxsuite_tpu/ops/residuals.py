@@ -8,7 +8,7 @@ particular the duality-gap terms need no unscaled matrices:
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +46,16 @@ class ScaledQP(NamedTuple):
     delta_y: jax.Array
     delta_z: jax.Array
     c: jax.Array
+    # double-float low words of the scaled data (high-accuracy ingestion:
+    # f64 host data split hi/lo and scaled error-free, see api.py /
+    # ops/df.py); None when high_accuracy is off.
+    H_lo: Optional[jax.Array] = None
+    g_lo: Optional[jax.Array] = None
+    A_lo: Optional[jax.Array] = None
+    b_lo: Optional[jax.Array] = None
+    C_lo: Optional[jax.Array] = None
+    u_lo: Optional[jax.Array] = None
+    l_lo: Optional[jax.Array] = None
 
 
 def unscale_x(qp: ScaledQP, x):
@@ -79,7 +89,11 @@ class PrimalResidualOut(NamedTuple):
     se_out: jax.Array        # unscaled Ax - b
     si_out: jax.Array        # unscaled [Cx-u]_+ + [Cx-l]_-
     se_scaled: jax.Array     # scaled Ax - b (inner-loop working value)
-    Cx_unscaled: jax.Array   # unscaled Cx (reused to seed ru/rl)
+    Cx_scaled: jax.Array     # scaled Cx (reused to seed ru/rl)
+    # double-float low words of the scaled seeds (zeros unless
+    # settings.high_accuracy)
+    se_scaled_lo: jax.Array
+    Cx_scaled_lo: jax.Array
 
 
 def global_primal_residual(
@@ -88,22 +102,66 @@ def global_primal_residual(
     qp: ScaledQP,
     x: jax.Array,
     status_primal_infeasible: jax.Array,
+    x_lo=None,
 ) -> PrimalResidualOut:
-    """Reference global_primal_residual (dense/utils.hpp:164-252)."""
-    se_s = qp.A @ x
-    se_un = se_s / qp.delta_y
-    eq_rhs_0 = infty_norm(se_un)
+    """Reference global_primal_residual (dense/utils.hpp:164-252).
 
-    Cx_s = qp.C @ x
-    Cx_un = Cx_s / qp.delta_z  # box rows yield unscaled x (identity rows)
-    in_rhs_0 = infty_norm(Cx_un[: spec.n_in])
-    si_un = positive_part(Cx_un - qp.u_orig) + negative_part(Cx_un - qp.l_orig)
-    if spec.box_constraints:
-        x_un = unscale_x(qp, x)
-        in_rhs_0 = jnp.maximum(
-            in_rhs_0, infty_norm(x_un - si_un[spec.n_in:]))
-        in_rhs_0 = jnp.maximum(in_rhs_0, infty_norm(x_un))
-    se_un = se_un - qp.b / qp.delta_y
+    high_accuracy: the cancelling combinations (Ax - b, Cx - bounds) are
+    formed in double-float from exact matvecs BEFORE any lossy elementwise
+    op, so the returned residuals carry only relative error (~1e-7 of the
+    residual itself, not of the operands). The inequality violation is
+    then formed in scaled space -- equivalent for all finite bounds since
+    the row scalings are positive.
+    """
+    if settings.high_accuracy:
+        from .df import (df_add, df_add_f32, df_to_f32, exact_matvec,
+                         exact_matvec_d)
+        se_df = exact_matvec_d(qp.A, qp.A_lo, x, x_lo)
+        eq_rhs_0 = infty_norm(df_to_f32(se_df) / qp.delta_y)
+        se_scaled, se_scaled_lo = df_add_f32(se_df, -qp.b)
+        if qp.b_lo is not None:
+            se_scaled, se_scaled_lo = df_add_f32(
+                (se_scaled, se_scaled_lo), -qp.b_lo)
+        se_un = (se_scaled + se_scaled_lo) / qp.delta_y
+
+        Cx_df = exact_matvec_d(qp.C, qp.C_lo, x, x_lo)
+        Cx_scaled, Cx_scaled_lo = Cx_df
+        Cx_un = df_to_f32(Cx_df) / qp.delta_z
+        in_rhs_0 = infty_norm(Cx_un[: spec.n_in])
+        # violation against the WORKING scaled bounds qp.u/qp.l -- the same
+        # values the inner loop enforces; re-deriving u_orig*delta_z here
+        # differs by one f32 rounding and freezes pri_res at ~6e-8*|u|
+        viol_u = df_add_f32(Cx_df, -qp.u)
+        viol_l = df_add_f32(Cx_df, -qp.l)
+        if qp.u_lo is not None:
+            viol_u = df_add_f32(viol_u, -qp.u_lo)
+            viol_l = df_add_f32(viol_l, -qp.l_lo)
+        si_un = (positive_part(df_to_f32(viol_u))
+                 + negative_part(df_to_f32(viol_l))) / qp.delta_z
+        if spec.box_constraints:
+            x_un = unscale_x(qp, x)
+            in_rhs_0 = jnp.maximum(
+                in_rhs_0, infty_norm(x_un - si_un[spec.n_in:]))
+            in_rhs_0 = jnp.maximum(in_rhs_0, infty_norm(x_un))
+    else:
+        se_s = qp.A @ x
+        se_un = se_s / qp.delta_y
+        eq_rhs_0 = infty_norm(se_un)
+
+        Cx_scaled = qp.C @ x
+        Cx_un = Cx_scaled / qp.delta_z  # box rows yield unscaled x (identity)
+        in_rhs_0 = infty_norm(Cx_un[: spec.n_in])
+        si_un = (positive_part(Cx_un - qp.u_orig)
+                 + negative_part(Cx_un - qp.l_orig))
+        if spec.box_constraints:
+            x_un = unscale_x(qp, x)
+            in_rhs_0 = jnp.maximum(
+                in_rhs_0, infty_norm(x_un - si_un[spec.n_in:]))
+            in_rhs_0 = jnp.maximum(in_rhs_0, infty_norm(x_un))
+        se_un = se_un - qp.b / qp.delta_y
+        se_scaled = se_un * qp.delta_y
+        se_scaled_lo = jnp.zeros_like(se_scaled)
+        Cx_scaled_lo = jnp.zeros_like(Cx_scaled)
 
     in_lhs = infty_norm(si_un)
     eq_lhs = infty_norm(se_un)
@@ -122,8 +180,10 @@ def global_primal_residual(
         in_rhs_0=in_rhs_0,
         se_out=se_un,
         si_out=si_un,
-        se_scaled=se_un * qp.delta_y,
-        Cx_unscaled=Cx_un,
+        se_scaled=se_scaled,
+        Cx_scaled=Cx_scaled,
+        se_scaled_lo=se_scaled_lo,
+        Cx_scaled_lo=Cx_scaled_lo,
     )
 
 
@@ -135,18 +195,31 @@ class DualResidualOut(NamedTuple):
     duality_gap: jax.Array
     rhs_duality_gap: jax.Array
     dual_res_scaled: jax.Array
+    dual_res_lo: jax.Array  # df low word (zeros unless high_accuracy)
 
 
 def global_dual_residual(
     spec: ProblemSpec,
+    settings: Settings,
     qp: ScaledQP,
     x: jax.Array,
     y: jax.Array,
     z: jax.Array,
     active_up: jax.Array,
     active_low: jax.Array,
+    x_lo=None, y_lo=None, z_lo=None,
 ) -> DualResidualOut:
-    """Reference global_dual_residual (dense/utils.hpp:437-587)."""
+    """Reference global_dual_residual (dense/utils.hpp:437-587).
+
+    high_accuracy: Hx + g + A'y + C'z cancels to ~eps_abs at convergence;
+    all four terms are exact-matvec'd and combined in double-float before
+    the lossy unscale of the (small) result.
+    """
+    if settings.high_accuracy and not spec.box_constraints \
+            and spec.hessian_type == HessianType.Dense:
+        return _global_dual_residual_ha(spec, qp, x, y, z,
+                                        active_up, active_low,
+                                        x_lo, y_lo, z_lo)
     dtype = x.dtype
     inv_dxc = 1.0 / (qp.delta_x * qp.c)
     dr = qp.g
@@ -214,7 +287,68 @@ def global_dual_residual(
         duality_gap=duality_gap,
         rhs_duality_gap=rhs_gap,
         dual_res_scaled=dr,
+        dual_res_lo=jnp.zeros_like(dr),
     )
+
+
+def _global_dual_residual_ha(
+    spec: ProblemSpec,
+    qp: ScaledQP,
+    x, y, z, active_up, active_low,
+    x_lo=None, y_lo=None, z_lo=None,
+) -> DualResidualOut:
+    """High-accuracy dual residual (Dense hessian, no box): the stationarity
+    sum and the duality-gap scalar cancellation run in double-float."""
+    from .df import (df_add, df_add_f32, df_to_f32, exact_dot, exact_matvec,
+                     two_sum)
+
+    from .df import exact_matvec_d
+
+    def mvd(M, M_lo, v, v_lo):
+        return exact_matvec_d(M, M_lo, v, v_lo)
+
+    tr = lambda M: None if M is None else M.T
+    inv_dxc = 1.0 / (qp.delta_x * qp.c)
+    Hx_df = mvd(qp.H, qp.H_lo, x, x_lo)
+    Hx = df_to_f32(Hx_df)
+    rhs_0 = infty_norm(Hx * inv_dxc)
+    ATy_df = mvd(qp.A.T, tr(qp.A_lo), y, y_lo)
+    rhs_1 = infty_norm(df_to_f32(ATy_df) * inv_dxc)
+    CTz_df = mvd(qp.C.T, tr(qp.C_lo), z, z_lo)
+    rhs_3 = infty_norm(df_to_f32(CTz_df) * inv_dxc)
+    dr_df = df_add(df_add(df_add_f32(Hx_df, qp.g), ATy_df), CTz_df)
+    if qp.g_lo is not None:
+        dr_df = df_add_f32(dr_df, qp.g_lo)
+    dr, dr_lo = dr_df
+    dua_lhs = infty_norm((dr + dr_lo) * inv_dxc)
+
+    # duality gap: five cancelling scalar terms combined in df
+    gx_h, gx_l = exact_dot(qp.g, x)
+    gx = (gx_h + gx_l) / qp.c
+    xHx_h, xHx_l = exact_dot(Hx, x)
+    xHx = (xHx_h + xHx_l) / qp.c
+    by_h, by_l = exact_dot(qp.b, y)
+    by = (by_h + by_l) / qp.c
+    z_un = unscale_z(qp, z)
+    u_cl = jnp.minimum(qp.u_orig, INFINITE_BOUND)
+    l_cl = jnp.maximum(qp.l_orig, -INFINITE_BOUND)
+    zu_h, zu_l = exact_dot(jnp.where(active_up, z_un, 0.0), u_cl)
+    zu = zu_h + zu_l
+    zl_h, zl_l = exact_dot(jnp.where(active_low, z_un, 0.0), l_cl)
+    zl = zl_h + zl_l
+    gap_hi, gap_lo = two_sum(gx, xHx)
+    for t in (by, zu, zl):
+        gap_hi, e = two_sum(gap_hi, t)
+        gap_lo = gap_lo + e
+    duality_gap = gap_hi + gap_lo
+    rhs_gap = jnp.maximum(
+        jnp.maximum(jnp.abs(gx), jnp.abs(xHx)),
+        jnp.maximum(jnp.abs(by), jnp.maximum(jnp.abs(zu), jnp.abs(zl))))
+
+    return DualResidualOut(
+        dua_lhs=dua_lhs, rhs_0=rhs_0, rhs_1=rhs_1, rhs_3=rhs_3,
+        duality_gap=duality_gap, rhs_duality_gap=rhs_gap,
+        dual_res_scaled=dr, dual_res_lo=dr_lo)
 
 
 def primal_infeasibility_certificate(

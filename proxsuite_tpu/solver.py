@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .ops import kkt
+from .ops.df import df_add_f32, df_div, df_scale
 from .ops.kkt import KKTFactors, KKTOperand
 from .ops.linesearch import LinesearchOperand, primal_dual_linesearch
 from .ops.residuals import (
@@ -81,6 +82,15 @@ class InnerState(NamedTuple):
     rl: jax.Array        # C x - l + fac*mu_in*z_prev (scaled)
     se: jax.Array        # A x - b + mu_eq (y_prev - y) (scaled)
     dual_res: jax.Array  # H x + rho (x - x_prev) + A^T y + C^T z (scaled)
+    # double-float low words of the above (zeros unless high_accuracy;
+    # iterate updates are error-free two_sum accumulations in that mode)
+    x_lo: jax.Array
+    y_lo: jax.Array
+    z_lo: jax.Array
+    ru_lo: jax.Array
+    rl_lo: jax.Array
+    se_lo: jax.Array
+    dres_lo: jax.Array
     active_up: jax.Array
     active_low: jax.Array
     dx: jax.Array
@@ -103,6 +113,7 @@ def inner_newton(
     factors: KKTFactors,
     op: KKTOperand,
     x, y, z, ru, rl, se, dual_res,
+    lows,                # 7-tuple of low words (x,y,z,ru,rl,se,dres)
     x_prev,
     rho, mu_eq, mu_in,
     eps_int,
@@ -114,19 +125,34 @@ def inner_newton(
     fac = _merit_factor(settings)
     small_tol = _small_step_tol(dtype)
     gpdal = settings.merit_function_type == MeritFunctionType.GPDAL
+    ha = settings.high_accuracy
+
+    def upd(hi, lo, t):
+        """df(hi, lo) += t (error-free in HA mode, plain add otherwise)."""
+        if not ha:
+            return hi + t, lo
+        return df_add_f32((hi, lo), t)
 
     def body(s: InnerState) -> InnerState:
+        # collapsed working views (exact hi when HA is off)
+        ru_v = s.ru + s.ru_lo if ha else s.ru
+        rl_v = s.rl + s.rl_lo if ha else s.rl
+        se_v = s.se + s.se_lo if ha else s.se
+        dres_v = s.dual_res + s.dres_lo if ha else s.dual_res
+        z_v = s.z + s.z_lo if ha else s.z
+
         # --- active set from shifted residuals (solver.hpp:773-778) ---
-        up = s.ru >= 0
-        low = s.rl <= 0
+        up = ru_v >= 0
+        low = rl_v <= 0
         active = jnp.logical_or(up, low)
         inactive = jnp.logical_not(active)
 
         # --- rhs assembly (solver.hpp:787-847) ---
-        rhs_x = -s.dual_res + qp.C.T @ jnp.where(inactive, s.z, 0.0)
-        rhs_y = -s.se
-        shift = s.z * mu_in * fac
-        rhs_z = jnp.where(up, -s.ru + shift, jnp.where(low, -s.rl + shift, 0.0))
+        rhs_x = -dres_v + qp.C.T @ jnp.where(inactive, z_v, 0.0)
+        rhs_y = -se_v
+        shift = z_v * mu_in * fac
+        rhs_z = jnp.where(up, -ru_v + shift,
+                          jnp.where(low, -rl_v + shift, 0.0))
 
         # --- masked KKT solve with iterative refinement ---
         if settings.kkt_backend == "matrixfree":
@@ -139,23 +165,46 @@ def inner_newton(
             spec, settings, factors, op, sys, rho, rhs_x, rhs_y, rhs_z,
             eps_int, solve_fn=solve_fn)
         # inactive multipliers step to zero (solver.hpp:860-868)
-        dz = jnp.where(active, dzJ, -s.z)
+        dz = jnp.where(active, dzJ, -z_v)
 
-        # --- directional products ---
-        Hdx = _hdx(spec, qp, dx)
-        Adx = qp.A @ dx
-        ATdy = qp.A.T @ dy
-        Cdx = qp.C @ dx
-        CTdz = qp.C.T @ dz
-        if gpdal:
-            Cdx = Cdx + (settings.alpha_gpdal - 1.0) * mu_in * dz
+        # --- directional products (df-exact in HA: the incremental state
+        # updates below must not pollute the low words with f32 matvec
+        # accumulation error, or err_in floors at ~1e-6) ---
+        if ha:
+            from .ops.df import df_add, df_neg, exact_matvec_d, two_prod
+            tr = lambda M: None if M is None else M.T
+            if spec.hessian_type == HessianType.Dense:
+                Hdx_df = exact_matvec_d(qp.H, qp.H_lo, dx)
+            else:
+                Hdx_df = (jnp.zeros_like(dx), jnp.zeros_like(dx))
+            Adx_df = exact_matvec_d(qp.A, qp.A_lo, dx)
+            ATdy_df = exact_matvec_d(qp.A.T, tr(qp.A_lo), dy)
+            Cdx_df = exact_matvec_d(qp.C, qp.C_lo, dx)
+            CTdz_df = exact_matvec_d(qp.C.T, tr(qp.C_lo), dz)
+            if gpdal:
+                Cdx_df = df_add(
+                    Cdx_df,
+                    two_prod((settings.alpha_gpdal - 1.0) * mu_in, dz))
+            Hdx = Hdx_df[0] + Hdx_df[1]
+            Adx = Adx_df[0] + Adx_df[1]
+            ATdy = ATdy_df[0] + ATdy_df[1]
+            Cdx = Cdx_df[0] + Cdx_df[1]
+            CTdz = CTdz_df[0] + CTdz_df[1]
+        else:
+            Hdx = _hdx(spec, qp, dx)
+            Adx = qp.A @ dx
+            ATdy = qp.A.T @ dy
+            Cdx = qp.C @ dx
+            CTdz = qp.C.T @ dz
+            if gpdal:
+                Cdx = Cdx + (settings.alpha_gpdal - 1.0) * mu_in * dz
 
         # --- exact linesearch (solver.hpp:968-971) ---
         if spec.n_c > 0:
             alpha = primal_dual_linesearch(settings, LinesearchOperand(
-                x=s.x, x_prev=x_prev, y=s.y, z=s.z, se=s.se, ru=s.ru, rl=s.rl,
-                g=qp.g, dx=dx, dy=dy, dz=dz, Hdx=Hdx, Adx=Adx, Cdx=Cdx,
-                rho=rho, mu_eq=mu_eq, mu_in=mu_in))
+                x=s.x, x_prev=x_prev, y=s.y, z=z_v, se=se_v, ru=ru_v,
+                rl=rl_v, g=qp.g, dx=dx, dy=dy, dz=dz, Hdx=Hdx, Adx=Adx,
+                Cdx=Cdx, rho=rho, mu_eq=mu_eq, mu_in=mu_in))
         else:
             alpha = jnp.asarray(1.0, dtype)
 
@@ -165,20 +214,59 @@ def inner_newton(
             infty_norm(alpha * dz))
         small = jnp.logical_and(step_norm < small_tol, s.k > 0)
 
-        # --- iterate update (solver.hpp:984-1009) ---
-        x_n = s.x + alpha * dx
-        ru_n = s.ru + alpha * Cdx
-        rl_n = s.rl + alpha * Cdx
-        se_n = s.se + alpha * (Adx - mu_eq * dy)
-        y_n = s.y + alpha * dy
-        z_n = s.z + alpha * dz
-        dual_res_n = s.dual_res + alpha * (rho * dx + Hdx + ATdy + CTdz)
+        # --- iterate update (solver.hpp:984-1009); error-free two_sum /
+        # two_prod accumulation keeps the low words exact in HA mode ---
+        if ha:
+            from .ops.df import df_add as _dfa, df_neg as _dfn, \
+                df_scale as _dfs, two_prod as _tp
+
+            def dupd(hi, lo, step_df):
+                return _dfa((hi, lo), step_df)
+
+            x_n, x_lo_n = dupd(s.x, s.x_lo, _tp(alpha, dx))
+            cdx_step = _dfs(Cdx_df, alpha)
+            ru_n, ru_lo_n = dupd(s.ru, s.ru_lo, cdx_step)
+            rl_n, rl_lo_n = dupd(s.rl, s.rl_lo, cdx_step)
+            se_step = _dfs(_dfa(Adx_df, _dfn(_tp(mu_eq, dy))), alpha)
+            se_n, se_lo_n = dupd(s.se, s.se_lo, se_step)
+            y_n, y_lo_n = dupd(s.y, s.y_lo, _tp(alpha, dy))
+            z_n, z_lo_n = dupd(s.z, s.z_lo, _tp(alpha, dz))
+            dres_step = _dfs(
+                _dfa(_dfa(_dfa(_tp(rho, dx), Hdx_df), ATdy_df), CTdz_df),
+                alpha)
+            dual_res_n, dres_lo_n = dupd(s.dual_res, s.dres_lo, dres_step)
+        else:
+            x_n, x_lo_n = upd(s.x, s.x_lo, alpha * dx)
+            ru_n, ru_lo_n = upd(s.ru, s.ru_lo, alpha * Cdx)
+            rl_n, rl_lo_n = upd(s.rl, s.rl_lo, alpha * Cdx)
+            se_n, se_lo_n = upd(s.se, s.se_lo, alpha * (Adx - mu_eq * dy))
+            y_n, y_lo_n = upd(s.y, s.y_lo, alpha * dy)
+            z_n, z_lo_n = upd(s.z, s.z_lo, alpha * dz)
+            dual_res_n, dres_lo_n = upd(
+                s.dual_res, s.dres_lo, alpha * (rho * dx + Hdx + ATdy + CTdz))
 
         # --- inner stopping criterion (solver.hpp:687-743) ---
-        w = positive_part(ru_n) + negative_part(rl_n) - fac * mu_in * z_n
+        ru_nv = ru_n + ru_lo_n if ha else ru_n
+        rl_nv = rl_n + rl_lo_n if ha else rl_n
+        se_nv = se_n + se_lo_n if ha else se_n
+        dres_nv = dual_res_n + dres_lo_n if ha else dual_res_n
+        z_nv = z_n + z_lo_n if ha else z_n
+        if ha:
+            # the w cancellation (pos(ru)+neg(rl) ~ fac mu z on active
+            # rows) also runs in df: masks apply to both words
+            fmuz = _dfs((z_n, z_lo_n), fac * mu_in)
+            pos_df = (jnp.where(ru_nv > 0, ru_n, 0.0),
+                      jnp.where(ru_nv > 0, ru_lo_n, 0.0))
+            neg_df = (jnp.where(rl_nv < 0, rl_n, 0.0),
+                      jnp.where(rl_nv < 0, rl_lo_n, 0.0))
+            w_df = _dfa(_dfa(pos_df, neg_df), _dfn(fmuz))
+            w = w_df[0] + w_df[1]
+        else:
+            w = (positive_part(ru_nv) + negative_part(rl_nv)
+                 - fac * mu_in * z_nv)
         err_in = jnp.maximum(
-            jnp.maximum(infty_norm(w), infty_norm(se_n)),
-            infty_norm(dual_res_n))
+            jnp.maximum(infty_norm(w), infty_norm(se_nv)),
+            infty_norm(dres_nv))
 
         # --- infeasibility certificates (solver.hpp:1028-1063) ---
         check = jnp.logical_or(
@@ -245,6 +333,10 @@ def inner_newton(
             x=sel(x_n, s.x), y=sel(y_n, s.y), z=sel(z_n, s.z),
             ru=sel(ru_n, s.ru), rl=sel(rl_n, s.rl), se=sel(se_n, s.se),
             dual_res=sel(dual_res_n, s.dual_res),
+            x_lo=sel(x_lo_n, s.x_lo), y_lo=sel(y_lo_n, s.y_lo),
+            z_lo=sel(z_lo_n, s.z_lo),
+            ru_lo=sel(ru_lo_n, s.ru_lo), rl_lo=sel(rl_lo_n, s.rl_lo),
+            se_lo=sel(se_lo_n, s.se_lo), dres_lo=sel(dres_lo_n, s.dres_lo),
             active_up=up, active_low=low,
             dx=dx, dy=dy, dz=dz,
             err_in=sel(err_in, s.err_in), best_err=best_err, stalls=stalls,
@@ -253,6 +345,8 @@ def inner_newton(
 
     init = InnerState(
         x=x, y=y, z=z, ru=ru, rl=rl, se=se, dual_res=dual_res,
+        x_lo=lows[0], y_lo=lows[1], z_lo=lows[2],
+        ru_lo=lows[3], rl_lo=lows[4], se_lo=lows[5], dres_lo=lows[6],
         active_up=jnp.zeros((spec.n_c,), bool),
         active_low=jnp.zeros((spec.n_c,), bool),
         dx=jnp.zeros_like(x), dy=jnp.zeros_like(y), dz=jnp.zeros_like(z),
@@ -274,6 +368,10 @@ class OuterState(NamedTuple):
     x: jax.Array
     y: jax.Array
     z: jax.Array
+    # double-float low words (zeros unless settings.high_accuracy)
+    x_lo: jax.Array
+    y_lo: jax.Array
+    z_lo: jax.Array
     active_up: jax.Array
     active_low: jax.Array
     mu_eq: jax.Array
@@ -321,6 +419,7 @@ def qp_solve_core(
     dtype = qp.H.dtype
     n, n_eq, n_c = spec.n, spec.n_eq, spec.n_c
     fac = _merit_factor(settings)
+    ha = settings.high_accuracy
 
     op = KKTOperand(H=qp.H, A=qp.A, C=qp.C)
     matrixfree = settings.kkt_backend == "matrixfree"
@@ -354,7 +453,9 @@ def qp_solve_core(
     # floor is clamped to ~10x machine epsilon for f32 runs.
     eps_in_min = min(settings.eps_abs, 1e-9)
     if jnp.finfo(dtype).bits < 64:
-        eps_in_min = max(eps_in_min, 1e-6)
+        # high-accuracy mode computes residuals in double-float, so the
+        # inner loop can be trusted well below the plain-f32 noise floor
+        eps_in_min = max(eps_in_min, 1e-8 if settings.high_accuracy else 1e-6)
     bcl_eta_ext_init = 0.1 ** settings.alpha_bcl
 
     def gap_ok(gap, rhs_gap):
@@ -377,9 +478,12 @@ def qp_solve_core(
         is_pinf = s.status == int(QPSolverOutput.PROXQP_PRIMAL_INFEASIBLE)
 
         # ---- top-of-iteration residuals (solver.hpp:1397-1429) ----
-        pr = global_primal_residual(spec, settings, qp, s.x, is_pinf)
+        pr = global_primal_residual(spec, settings, qp, s.x, is_pinf,
+                                    x_lo=s.x_lo if ha else None)
         dr = global_dual_residual(
-            spec, qp, s.x, s.y, s.z, s.active_up, s.active_low)
+            spec, settings, qp, s.x, s.y, s.z, s.active_up, s.active_low,
+            x_lo=s.x_lo if ha else None, y_lo=s.y_lo if ha else None,
+            z_lo=s.z_lo if ha else None)
 
         if settings.verbose:
             # per-outer-iteration residual line (reference
@@ -408,16 +512,37 @@ def qp_solve_core(
         # ---- not converged: run an inner loop ----
         x_prev, y_prev, z_prev = s.x, s.y, s.z
 
-        # shifted residuals seeding (solver.hpp:1517-1559)
-        tmp = pr.Cx_unscaled * qp.delta_z + fac * s.mu_in * z_prev
-        ru = tmp - qp.u
-        rl = tmp - qp.l
-        se = pr.se_scaled
-        dual_res = dr.dual_res_scaled
+        # shifted residuals seeding (solver.hpp:1517-1559); in HA mode the
+        # seeds stay double-float (the shift term's own rounding is shared
+        # with the inner criterion, so it cancels there)
+        if ha:
+            from .ops.df import df_add as _dfa
+            shift_df = df_scale((z_prev, s.z_lo), fac * s.mu_in)
+            tmp_df = _dfa((pr.Cx_scaled, pr.Cx_scaled_lo), shift_df)
+            ru_df = df_add_f32(tmp_df, -qp.u)
+            rl_df = df_add_f32(tmp_df, -qp.l)
+            if qp.u_lo is not None:
+                ru_df = df_add_f32(ru_df, -qp.u_lo)
+                rl_df = df_add_f32(rl_df, -qp.l_lo)
+            ru, ru_lo = ru_df
+            rl, rl_lo = rl_df
+            se, se_lo = pr.se_scaled, pr.se_scaled_lo
+            dual_res, dres_lo = dr.dual_res_scaled, dr.dual_res_lo
+        else:
+            tmp = pr.Cx_scaled + fac * s.mu_in * z_prev
+            ru = tmp - qp.u
+            rl = tmp - qp.l
+            se = pr.se_scaled
+            dual_res = dr.dual_res_scaled
+            ru_lo = rl_lo = jnp.zeros((n_c,), dtype)
+            se_lo = jnp.zeros((n_eq,), dtype)
+            dres_lo = jnp.zeros((n,), dtype)
 
         inner = inner_newton(
             spec, settings, qp, factors, op,
-            s.x, s.y, s.z, ru, rl, se, dual_res, x_prev,
+            s.x, s.y, s.z, ru, rl, se, dual_res,
+            (s.x_lo, s.y_lo, s.z_lo, ru_lo, rl_lo, se_lo, dres_lo),
+            x_prev,
             rho, s.mu_eq, s.mu_in, s.bcl_eta_in, s.status,
             skip=solved_now)
 
@@ -449,12 +574,16 @@ def qp_solve_core(
 
         # ---- post-inner residuals & early status (solver.hpp:1596-1666) ----
         is_pinf2 = status == int(QPSolverOutput.PROXQP_PRIMAL_INFEASIBLE)
-        pr2 = global_primal_residual(spec, settings, qp, inner.x, is_pinf2)
+        pr2 = global_primal_residual(spec, settings, qp, inner.x, is_pinf2,
+                                     x_lo=inner.x_lo if ha else None)
         pri2_ok = pr2.pri_lhs <= (
             scaled_eps + settings.eps_rel * jnp.maximum(pr2.eq_rhs_0, pr2.in_rhs_0))
         dr2 = global_dual_residual(
-            spec, qp, inner.x, inner.y, inner.z,
-            inner.active_up, inner.active_low)
+            spec, settings, qp, inner.x, inner.y, inner.z,
+            inner.active_up, inner.active_low,
+            x_lo=inner.x_lo if ha else None,
+            y_lo=inner.y_lo if ha else None,
+            z_lo=inner.z_lo if ha else None)
         dua2_ok = dr2.dua_lhs <= (
             settings.eps_abs + settings.eps_rel * jnp.maximum(
                 jnp.maximum(dr2.rhs_3, dr2.rhs_0), jnp.maximum(dr2.rhs_1, g_un_norm)))
@@ -489,6 +618,8 @@ def qp_solve_core(
             # bad step restores previous duals (solver.hpp:598-599)
             y_post = jnp.where(good, inner.y, y_prev)
             z_post = jnp.where(good, inner.z, z_prev)
+            y_post_lo = jnp.where(good, inner.y_lo, s.y_lo)
+            z_post_lo = jnp.where(good, inner.z_lo, s.z_lo)
         else:
             good = pr2.pri_lhs <= 0.95 * pr.pri_lhs
             new_mu_eq = jnp.where(good, mu_eq, shrunk_mu_eq)
@@ -496,11 +627,15 @@ def qp_solve_core(
             bcl_eta_ext = s.bcl_eta_ext
             bcl_eta_in = jnp.maximum(s.bcl_eta_in * 0.1, eps_in_min)
             y_post, z_post = inner.y, inner.z
+            y_post_lo, z_post_lo = inner.y_lo, inner.z_lo
 
         # ---- cold restart (solver.hpp:1693-1725) ----
         dr3 = global_dual_residual(
-            spec, qp, inner.x, y_post, z_post,
-            inner.active_up, inner.active_low)
+            spec, settings, qp, inner.x, y_post, z_post,
+            inner.active_up, inner.active_low,
+            x_lo=inner.x_lo if ha else None,
+            y_lo=y_post_lo if ha else None,
+            z_lo=z_post_lo if ha else None)
         cold = jnp.logical_and(
             jnp.logical_and(pr2.pri_lhs >= pr.pri_lhs, dr3.dua_lhs >= dr.dua_lhs),
             mu_in <= 1e-5)
@@ -508,10 +643,14 @@ def qp_solve_core(
         new_mu_in = jnp.where(cold, settings.cold_reset_mu_in, new_mu_in)
         mu_changed = jnp.logical_or(new_mu_eq != mu_eq, new_mu_in != mu_in)
 
+        zv = jnp.zeros_like
         worked = OuterState(
             x=jnp.where(cert_exit, inner.dx, inner.x),
             y=jnp.where(cert_exit, inner.dy, y_post),
             z=jnp.where(cert_exit, inner.dz, z_post),
+            x_lo=jnp.where(cert_exit, zv(inner.x_lo), inner.x_lo),
+            y_lo=jnp.where(cert_exit, zv(inner.y_lo), y_post_lo),
+            z_lo=jnp.where(cert_exit, zv(inner.z_lo), z_post_lo),
             active_up=inner.active_up, active_low=inner.active_low,
             mu_eq=new_mu_eq, mu_in=new_mu_in,
             bcl_eta_ext=bcl_eta_ext, bcl_eta_in=bcl_eta_in,
@@ -529,6 +668,9 @@ def qp_solve_core(
 
     init = OuterState(
         x=x, y=y, z=z,
+        x_lo=jnp.zeros((n,), dtype),
+        y_lo=jnp.zeros((n_eq,), dtype),
+        z_lo=jnp.zeros((n_c,), dtype),
         active_up=jnp.zeros((n_c,), bool),
         active_low=jnp.zeros((n_c,), bool),
         mu_eq=mu_eq0, mu_in=mu_in0,
@@ -555,9 +697,16 @@ def qp_solve_core(
     fin = lax.while_loop(cond, body, init)
 
     # ---- unscale and package (solver.hpp:1749-1781) ----
-    x_un = unscale_x(qp, fin.x)
-    y_un = unscale_y(qp, fin.y)
-    z_un = unscale_z(qp, fin.z)
+    if ha:
+        # error-free unscale of the double-float solution (ops/df.py)
+        x_un, x_un_lo = df_scale((fin.x, fin.x_lo), qp.delta_x)
+        y_un, y_un_lo = df_div(df_scale((fin.y, fin.y_lo), qp.delta_y), qp.c)
+        z_un, z_un_lo = df_div(df_scale((fin.z, fin.z_lo), qp.delta_z), qp.c)
+    else:
+        x_un = unscale_x(qp, fin.x)
+        y_un = unscale_y(qp, fin.y)
+        z_un = unscale_z(qp, fin.z)
+        x_un_lo = y_un_lo = z_un_lo = None
     obj = (0.5 * fin.x @ (qp.H @ fin.x) + qp.g @ fin.x) / qp.c
     info = Info(
         mu_eq=fin.mu_eq, mu_in=fin.mu_in, rho=rho,
@@ -567,4 +716,5 @@ def qp_solve_core(
         pri_res=fin.pri_res, dua_res=fin.dua_res,
         duality_gap=fin.duality_gap, iterative_residual=fin.lin_err,
         minimal_H_eigenvalue_estimate=jnp.asarray(0.0, dtype))
-    return Results(x=x_un, y=y_un, z=z_un, se=fin.se_out, si=fin.si_out, info=info)
+    return Results(x=x_un, y=y_un, z=z_un, se=fin.se_out, si=fin.si_out,
+                   info=info, x_lo=x_un_lo, y_lo=y_un_lo, z_lo=z_un_lo)

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
-from typing import Any, NamedTuple
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -143,6 +143,14 @@ class Settings:
     merit_function_type: MeritFunctionType = MeritFunctionType.GPDAL
     alpha_gpdal: float = 0.95
 
+    # High-accuracy f32 mode (TPU): residual computations (global stopping
+    # residuals + iterative-refinement KKT residuals) run through exact
+    # Ozaki-split matvecs combined in double-float (~2^-45 effective, see
+    # ops/df.py), so an f32 solve can certify eps_abs down to ~1e-7 without
+    # f64 hardware. Reference anchor: the f64 residual/refinement loop
+    # (dense/solver.hpp:408-541) is what carries the reference's accuracy.
+    high_accuracy: bool = False
+
     sparse_backend: SparseBackend = SparseBackend.Automatic
     # KKT linear-system backend: "schur" (dense Schur-complement Cholesky,
     # see ops/kkt.py) or "matrixfree" (MINRES over the masked KKT operator,
@@ -212,6 +220,31 @@ class Results(NamedTuple):
     se: jax.Array
     si: jax.Array
     info: Info
+    # high-accuracy mode: double-float low words of (x, y, z); the full
+    # solution is x + x_lo combined in f64 on the host (see ops/df.py).
+    # None when high_accuracy is off (None = empty pytree subtree).
+    x_lo: Optional[jax.Array] = None
+    y_lo: Optional[jax.Array] = None
+    z_lo: Optional[jax.Array] = None
+
+    def x_full(self):
+        """Host-side f64 solution combining the double-float words."""
+        import numpy as np
+        v = np.asarray(self.x, np.float64)
+        return v if self.x_lo is None else v + np.asarray(self.x_lo,
+                                                          np.float64)
+
+    def y_full(self):
+        import numpy as np
+        v = np.asarray(self.y, np.float64)
+        return v if self.y_lo is None else v + np.asarray(self.y_lo,
+                                                          np.float64)
+
+    def z_full(self):
+        import numpy as np
+        v = np.asarray(self.z, np.float64)
+        return v if self.z_lo is None else v + np.asarray(self.z_lo,
+                                                          np.float64)
 
 
 def infty_norm(v: jax.Array) -> jax.Array:

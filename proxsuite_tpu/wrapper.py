@@ -83,6 +83,26 @@ class QP:
         """Set up the model and run (or skip) equilibration
         (reference wrapper.hpp:354-518)."""
         sp, dt = self.spec, self.dtype
+        if self.settings.high_accuracy:
+            # keep the f64 host data: the HA pipeline splits it into
+            # double-float word pairs at scaling time (api.split_df_host)
+            if sp.box_constraints or sp.hessian_type != HessianType.Dense:
+                raise ValueError(
+                    "high_accuracy currently supports dense-Hessian, "
+                    "non-box problems")
+            import numpy as _np
+            z2 = lambda *shp: _np.zeros(shp, _np.float64)
+            self._model64 = {
+                "H": z2(sp.n, sp.n) if H is None else _np.asarray(H, _np.float64),
+                "g": _np.asarray(g, _np.float64),
+                "A": z2(sp.n_eq, sp.n) if A is None else _np.asarray(A, _np.float64),
+                "b": z2(sp.n_eq) if b is None else _np.asarray(b, _np.float64),
+                "C": z2(sp.n_in, sp.n) if C is None else _np.asarray(C, _np.float64),
+                "u": (_np.full(sp.n_in, _np.inf) if u is None
+                      else _np.asarray(u, _np.float64)),
+                "l": (_np.full(sp.n_in, -_np.inf) if l is None
+                      else _np.asarray(l, _np.float64)),
+            }
         model = {
             "H": jnp.zeros((sp.n, sp.n), dt) if H is None else jnp.asarray(H, dt),
             "g": jnp.asarray(g, dt),
@@ -117,6 +137,16 @@ class QP:
         return self
 
     def _rescale(self, execute: bool):
+        if self.settings.high_accuracy:
+            from .api import build_scaled_qp_ha, split_df_host
+            m = self._model64
+            parts = []
+            for k in ("H", "g", "A", "b", "C", "u", "l"):
+                hi, lo = split_df_host(m[k])
+                parts.extend([jnp.asarray(hi), jnp.asarray(lo)])
+            self._scaled = build_scaled_qp_ha(
+                self.spec, self.settings, *parts)
+            return
         m = self._model
         if execute or self._scaled is None:
             self._scaled = _scale_jit(
@@ -148,6 +178,10 @@ class QP:
                           ("u_box", u_box)):
             if val is not None:
                 self._model[name] = jnp.asarray(val, dt)
+                if self.settings.high_accuracy and name in getattr(
+                        self, "_model64", {}):
+                    import numpy as _np
+                    self._model64[name] = _np.asarray(val, _np.float64)
         if rho is not None:
             self._rho = float(rho)
         if mu_eq is not None:

@@ -114,3 +114,113 @@ def save_model_to_bytes(**arrays: Any) -> bytes:
 
 def load_model_from_bytes(data: bytes) -> dict:
     return load_model_from_binary(io.BytesIO(data))
+
+
+# ---------------- whole stateful QP <-> npz ----------------
+
+def save_qp(qp, path_or_buf) -> None:
+    """Round-trip the WHOLE stateful QP: model + settings + proximal
+    parameters + equilibration state + results (+ df low words).
+
+    Counterpart of the reference's cereal archive of the full wrapper
+    (serialization/wrapper.hpp:24, workspace.hpp:89, ruiz.hpp:32;
+    test/src/serialization.cpp:1-157): a reloaded QP resumes exactly --
+    a WARM_START_WITH_PREVIOUS_RESULT resolve takes 0 iterations.
+    """
+    arrays = {}
+    meta = {
+        "spec": {
+            "n": qp.spec.n, "n_eq": qp.spec.n_eq, "n_in": qp.spec.n_in,
+            "box_constraints": qp.spec.box_constraints,
+            "hessian_type": int(qp.spec.hessian_type),
+        },
+        "settings": settings_to_dict(qp.settings),
+        "rho": float(np.asarray(qp._rho)),
+        "mu_eq": float(np.asarray(qp._mu_eq)),
+        "mu_in": float(np.asarray(qp._mu_in)),
+        "has_results": qp.results is not None,
+    }
+    model64 = getattr(qp, "_model64", None)
+    for k, v in qp._model.items():
+        if v is not None:
+            # prefer the f64 host copies kept by high-accuracy mode
+            arrays[f"model_{k}"] = (np.asarray(model64[k])
+                                    if model64 and k in model64
+                                    else np.asarray(v))
+    if qp._scaled is not None:
+        for k in ("delta_x", "delta_y", "delta_z", "c"):
+            arrays[f"ruiz_{k}"] = np.asarray(getattr(qp._scaled, k))
+    if qp.results is not None:
+        r = qp.results
+        for k in ("x", "y", "z", "se", "si", "x_lo", "y_lo", "z_lo"):
+            v = getattr(r, k)
+            if v is not None:
+                arrays[f"res_{k}"] = np.asarray(v)
+        arrays["res_info"] = np.frombuffer(
+            json.dumps({k: np.asarray(v).tolist()
+                        for k, v in r.info._asdict().items()}).encode(),
+            dtype=np.uint8)
+    arrays["meta"] = np.frombuffer(json.dumps(meta).encode(), np.uint8)
+    np.savez_compressed(path_or_buf, **arrays)
+
+
+def load_qp(path_or_buf):
+    """Reconstruct a stateful QP saved by save_qp (see its docstring)."""
+    import jax.numpy as jnp
+
+    from .wrapper import QP
+
+    with np.load(path_or_buf, allow_pickle=False) as f:
+        data = {k: f[k] for k in f.files}
+    meta = json.loads(bytes(data["meta"]).decode())
+    sp = meta["spec"]
+    settings = settings_from_dict(meta["settings"])
+    qp = QP(sp["n"], sp["n_eq"], sp["n_in"],
+            box_constraints=sp["box_constraints"],
+            hessian_type=HessianType(sp["hessian_type"]),
+            settings=settings)
+    model_kw = {k[len("model_"):]: data[k] for k in data
+                if k.startswith("model_")}
+    # re-ingest WITHOUT re-running Ruiz, then overwrite the scaling state
+    # with the stored equilibration (reference: the serialized
+    # RuizEquilibration is restored verbatim)
+    qp.init(compute_preconditioner="ruiz_c" not in data, **model_kw,
+            rho=meta["rho"], mu_eq=meta["mu_eq"], mu_in=meta["mu_in"])
+    if "ruiz_c" in data:
+        m = qp._model
+        from .api import build_scaled_qp
+        qp._scaled = build_scaled_qp(
+            qp.spec, qp.settings, m["H"], m["g"], m["A"], m["b"], m["C"],
+            m["u"], m["l"], m["u_box"], m["l_box"],
+            execute_preconditioner=False,
+            delta_x=jnp.asarray(data["ruiz_delta_x"]),
+            delta_y=jnp.asarray(data["ruiz_delta_y"]),
+            delta_z=jnp.asarray(data["ruiz_delta_z"]),
+            c=jnp.asarray(data["ruiz_c"]))
+    if meta["has_results"]:
+        info_d = json.loads(bytes(data["res_info"]).decode())
+        int_fields = {"iter", "iter_ext", "mu_updates", "rho_updates",
+                      "status"}
+        time_fields = {"setup_time", "solve_time", "run_time",
+                       "compile_time"}
+        info = Info(**{
+            k: (float(v) if k in time_fields else
+                np.asarray(v, np.int32 if k in int_fields else
+                           qp.dtype))
+            for k, v in info_d.items()})
+        get = lambda k: (jnp.asarray(data[f"res_{k}"])
+                         if f"res_{k}" in data else None)
+        qp.results = Results(
+            x=get("x"), y=get("y"), z=get("z"), se=get("se"), si=get("si"),
+            info=info, x_lo=get("x_lo"), y_lo=get("y_lo"), z_lo=get("z_lo"))
+    return qp
+
+
+def save_qp_to_bytes(qp) -> bytes:
+    buf = io.BytesIO()
+    save_qp(qp, buf)
+    return buf.getvalue()
+
+
+def load_qp_from_bytes(data: bytes):
+    return load_qp(io.BytesIO(data))

@@ -204,6 +204,20 @@ class Info(NamedTuple):
     duality_gap: jax.Array
     iterative_residual: jax.Array
     minimal_H_eigenvalue_estimate: jax.Array
+    # timings in microseconds (reference proxqp/timings.hpp:13-101 +
+    # info.setup_time/solve_time/run_time, dense/wrapper.hpp:495-497),
+    # filled HOST-side by the wrapper when settings.compute_timings:
+    #   setup_time: init/update work (scaling, model ingest)
+    #   solve_time: the just-executed solve, EXCLUDING XLA compilation
+    #   run_time:   setup_time + solve_time
+    # compile_time additionally records the one-off jit compile the first
+    # time a (shapes, settings) executable is built -- the reference has
+    # no analogue (C++ is AOT); reporting it separately keeps solve_time
+    # comparable to the reference's semantics.
+    setup_time: float = 0.0
+    solve_time: float = 0.0
+    run_time: float = 0.0
+    compile_time: float = 0.0
 
 
 class Results(NamedTuple):

@@ -37,9 +37,11 @@ int main(int argc, char** argv) {
   double eps_abs = 2e-8;
   bool verbose = false;
   bool closest = false;   // primal_infeasibility_solving
+  bool default_inf = false;  // keep the reference's default eps_*_inf=1e-4
   for (int i = 2; i < argc; i++) {
     if (std::string(argv[i]) == "--verbose") verbose = true;
     else if (std::string(argv[i]) == "--closest") closest = true;
+    else if (std::string(argv[i]) == "--default-inf") default_inf = true;
     else eps_abs = atof(argv[i]);
   }
   FILE* f = fopen(argv[1], "rb");
@@ -60,8 +62,10 @@ int main(int argc, char** argv) {
   qp.settings.eps_abs = eps_abs;
   qp.settings.eps_rel = 0;
   qp.settings.verbose = verbose;
-  qp.settings.eps_primal_inf = 1e-12;
-  qp.settings.eps_dual_inf = 1e-12;
+  if (!default_inf) {
+    qp.settings.eps_primal_inf = 1e-12;
+    qp.settings.eps_dual_inf = 1e-12;
+  }
   if (closest) {
     qp.settings.primal_infeasibility_solving = true;
     qp.settings.eps_primal_inf = 1e-4;

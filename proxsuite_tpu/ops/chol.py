@@ -104,6 +104,102 @@ def _chol_block(D, eps_floor):
     return L, X
 
 
+def _ldl_signed_block(D, eps_floor):
+    """Unrolled signed Cholesky of a quasi-definite (..., bs, bs) block:
+    D = Lt diag(s) Lt^T with s in {+1, -1}. Returns (Lt, s, Lt_inv)."""
+    bs = D.shape[-1]
+    dtype = D.dtype
+    row_idx = np.arange(bs)
+    A = D
+    L = jnp.zeros_like(D)
+    signs = []
+    rs = []
+    for j in range(bs):
+        d = A[..., j, j]
+        s = jnp.where(d < 0, -1.0, 1.0).astype(dtype)
+        mag = jnp.maximum(jnp.abs(d), eps_floor)
+        r = jax.lax.rsqrt(mag)
+        signs.append(s)
+        rs.append(r)
+        # L[:, j] = A[:, j] * s / sqrt|d| so that (L diag(s) L^T)[i, j]
+        # reproduces A[i, j]; the diagonal lands at sqrt|d|
+        col = A[..., :, j] * (r * s)[..., None]
+        col = jnp.where(row_idx >= j, col, jnp.zeros((), dtype))
+        L = L.at[..., :, j].set(col)
+        if j + 1 < bs:
+            A = A - s[..., None, None] * (col[..., :, None] * col[..., None, :])
+    sign_vec = jnp.stack(signs, axis=-1)
+    X = jnp.zeros_like(D)
+    for j in range(bs):
+        e_j = jnp.zeros((bs,), dtype).at[j].set(1.0)
+        if j > 0:
+            lrow = L[..., j, :j]
+            acc = jnp.einsum("...k,...kn->...n", lrow, X[..., :j, :],
+                             precision=_PREC)
+            row = (e_j - acc) * rs[j][..., None]
+        else:
+            row = e_j * rs[j][..., None]
+        X = X.at[..., j, :].set(row)
+    return L, sign_vec, X
+
+
+def ldl_signed_and_inv(K, block: int = 16, eps_floor: float = 0.0):
+    """Blocked signed Cholesky of a symmetric QUASI-DEFINITE matrix:
+    K = Lt diag(s) Lt^T, s in {+-1}, plus the explicit inverse Lt^-1.
+
+    Quasi-definite matrices (the regularized KKT [[P, W^T], [W, -D_mu]],
+    P spd, D_mu spd) are strongly factorizable without pivoting
+    (Vanderbei), which is what makes this fixed-shape and MXU-friendly --
+    the reference's permuted LDLT (linalg/dense/ldlt.hpp:164-828) exists
+    to handle indefinite pivoting that this structure never needs.
+    Solve: K^-1 r = Lt^-T (s * (Lt^-1 r)).
+    """
+    m = K.shape[-1]
+    dtype = K.dtype
+    if m == 0:
+        return K, jnp.zeros(K.shape[:-1], dtype), K
+    if eps_floor == 0.0:
+        eps_floor = float(jnp.finfo(dtype).tiny)
+    mp = ((m + block - 1) // block) * block
+    if mp != m:
+        pad = mp - m
+        K = jnp.concatenate(
+            [jnp.concatenate([K, jnp.zeros(K.shape[:-2] + (m, pad), dtype)], -1),
+             jnp.concatenate(
+                 [jnp.zeros(K.shape[:-2] + (pad, m), dtype),
+                  jnp.broadcast_to(jnp.eye(pad, dtype=dtype),
+                                   K.shape[:-2] + (pad, pad))], -1)],
+            -2)
+    nb = mp // block
+    A = K
+    L = jnp.zeros_like(K)
+    Linv = jnp.zeros_like(K)
+    sgn = jnp.zeros(K.shape[:-1], dtype)
+    for k in range(nb):
+        kb = k * block
+        ke = kb + block
+        Ld, sd, Ldi = _ldl_signed_block(A[..., kb:ke, kb:ke], eps_floor)
+        L = L.at[..., kb:ke, kb:ke].set(Ld)
+        sgn = sgn.at[..., kb:ke].set(sd)
+        if ke < mp:
+            B = A[..., ke:, kb:ke]
+            # K_panel = Lp diag(sd) Ld^T  ->  Lp = B Ld^-T diag(sd)
+            Lp = _mm(B, _mT(Ldi)) * sd[..., None, :]
+            L = L.at[..., ke:, kb:ke].set(Lp)
+            A = A.at[..., ke:, ke:].add(
+                -_mm(Lp * sd[..., None, :], _mT(Lp)))
+        if kb > 0:
+            R = L[..., kb:ke, :kb]
+            right = -_mm(Ldi, _mm(R, Linv[..., :kb, :kb]))
+            Linv = Linv.at[..., kb:ke, :kb].set(right)
+        Linv = Linv.at[..., kb:ke, kb:ke].set(Ldi)
+    if mp != m:
+        L = L[..., :m, :m]
+        Linv = Linv[..., :m, :m]
+        sgn = sgn[..., :m]
+    return L, sgn, Linv
+
+
 def cholesky_inverse(S, block: int = 16, eps_floor: float = 0.0):
     """Batched lower Cholesky L of S plus its explicit inverse L^-1.
 

@@ -281,6 +281,55 @@ def build_masked_system(
         mu_eq=mu_eq, mu_in=mu_in)
 
 
+def primaldual_solve_fn(
+    spec: ProblemSpec,
+    op: KKTOperand,
+    sys: NewtonSystem,
+    rho: jax.Array,
+):
+    """Factor the FULL masked quasi-definite KKT and return a solve closure.
+
+    The reference's default PrimalDualLDLT backend (dense/solver.hpp:40-115
+    + linalg/dense/ldlt.hpp): factor
+        K = [ H+rho I   A^T      (M C)^T ]
+            [ A        -mu_eq I  0       ]
+            [ M C       0       -mu_in I ]
+    directly (signed blocked Cholesky, ops/chol.py ldl_signed_and_inv).
+    Unlike the Schur backend, conditioning is NOT squared at small mu and
+    the dual directions carry no spurious near-null components -- this is
+    the robust backend for LPs (P = rho I) and high-accuracy corner cases;
+    the Schur backend stays the throughput engine for batched QPs.
+    Active-set changes remain free-form masking; the factorization is
+    rebuilt per Newton step (refactorize-always, SURVEY section 7).
+    """
+    from .chol import ldl_signed_and_inv
+
+    n, n_eq, n_c = spec.n, spec.n_eq, spec.n_c
+    dtype = sys.mask.dtype
+    mk = sys.mask
+    if spec.hessian_type == HessianType.Zero:
+        P = rho * jnp.eye(n, dtype=dtype)
+    elif spec.hessian_type == HessianType.Diagonal:
+        P = jnp.diagflat(jnp.diagonal(op.H) + rho)
+    else:
+        P = op.H + rho * jnp.eye(n, dtype=dtype)
+    Cm = mk[:, None] * op.C
+    Z = lambda r, c: jnp.zeros((r, c), dtype)
+    K = jnp.block([
+        [P, op.A.T, Cm.T],
+        [op.A, -sys.mu_eq * jnp.eye(n_eq, dtype=dtype), Z(n_eq, n_c)],
+        [Cm, Z(n_c, n_eq), -sys.mu_in * jnp.eye(n_c, dtype=dtype)],
+    ])
+    _, sgn, Ltinv = ldl_signed_and_inv(K)
+
+    def solve_fn(r1, r2, r3):
+        r = jnp.concatenate([r1, r2, r3])
+        w = _mm(Ltinv.T, sgn * _mm(Ltinv, r))
+        return w[:n], w[n:n + n_eq], w[n + n_eq:]
+
+    return solve_fn
+
+
 def minres_solve_fn(
     spec: ProblemSpec,
     settings: Settings,

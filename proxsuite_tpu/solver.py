@@ -52,6 +52,15 @@ from .types import (
 )
 
 
+def resolve_backend(spec: ProblemSpec, settings: Settings) -> str:
+    """kkt_backend Automatic rule (see types.py Settings docstring)."""
+    if settings.kkt_backend:
+        return settings.kkt_backend
+    if spec.hessian_type == HessianType.Zero:
+        return "primaldual"
+    return "schur"
+
+
 def _merit_factor(settings: Settings) -> float:
     """mu_in multiplier in the shifted residuals: alpha_gpdal for GPDAL, 1
     for PDAL (reference solver.hpp:1536-1543, :699-728)."""
@@ -155,9 +164,13 @@ def inner_newton(
                           jnp.where(low, -rl_v + shift, 0.0))
 
         # --- masked KKT solve with iterative refinement ---
-        if settings.kkt_backend == "matrixfree":
+        backend = resolve_backend(spec, settings)
+        if backend == "matrixfree":
             sys = kkt.build_masked_system(spec, active, mu_eq, mu_in, dtype)
             solve_fn = kkt.minres_solve_fn(spec, settings, op, sys, rho)
+        elif backend == "primaldual":
+            sys = kkt.build_masked_system(spec, active, mu_eq, mu_in, dtype)
+            solve_fn = kkt.primaldual_solve_fn(spec, op, sys, rho)
         else:
             sys = kkt.build_newton_system(spec, factors, active, mu_eq, mu_in)
             solve_fn = None
@@ -422,7 +435,8 @@ def qp_solve_core(
     ha = settings.high_accuracy
 
     op = KKTOperand(H=qp.H, A=qp.A, C=qp.C)
-    matrixfree = settings.kkt_backend == "matrixfree"
+    backend = resolve_backend(spec, settings)
+    matrixfree = backend in ("matrixfree", "primaldual")
     if matrixfree:
         z0f = jnp.zeros((0,), dtype)
         factors = kkt.KKTFactors(
@@ -435,9 +449,12 @@ def qp_solve_core(
     x, y, z = x0, y0, z0
     if eq_init_guess:
         no_active = jnp.zeros((n_c,), bool)
-        if matrixfree:
+        if backend == "matrixfree":
             sys0 = kkt.build_masked_system(spec, no_active, mu_eq0, mu_in0, dtype)
             solve_fn0 = kkt.minres_solve_fn(spec, settings, op, sys0, rho)
+        elif backend == "primaldual":
+            sys0 = kkt.build_masked_system(spec, no_active, mu_eq0, mu_in0, dtype)
+            solve_fn0 = kkt.primaldual_solve_fn(spec, op, sys0, rho)
         else:
             sys0 = kkt.build_newton_system(spec, factors, no_active, mu_eq0, mu_in0)
             solve_fn0 = None

@@ -53,20 +53,29 @@ class MeritFunctionType(enum.IntEnum):
 
 
 class DenseBackend(enum.IntEnum):
-    """KKT linear-system backend.
+    """KKT linear-system backend (reference settings.hpp:26-32).
 
-    The reference chooses between PrimalDualLDLT (factor the full quasi-definite
-    KKT and mutate it with rank updates, wrapper.hpp:82-113) and PrimalLDLT
-    (factor only the n-by-n condensed matrix). Neither maps to TPU: rank
-    updates imply dynamic shapes and serial column sweeps. The TPU-native
-    backend ("SchurCholesky") factors P = H + rho*I once per solve (Cholesky,
-    MXU-friendly) and per Newton step assembles the masked active-set Schur
-    complement S = D_mu + W P^-1 W^T from precomputed Gram blocks -- an m-by-m
-    SPD Cholesky. Active-set changes and mu-updates are pure masking.
+    PrimalDualLDLT maps to the signed blocked LDLT of the full masked
+    quasi-definite KKT (kkt_backend="primaldual"); PrimalLDLT maps to the
+    condensed Schur-complement Cholesky (kkt_backend="schur") -- both
+    fixed-shape refactorize-always TPU designs, not the reference's serial
+    rank-update machinery (see ops/kkt.py, ops/chol.py). Automatic picks
+    primaldual for Zero-Hessian problems (LPs: P = rho*I makes the Schur
+    complement pathological) and schur otherwise.
     """
 
-    SchurCholesky = 0
-    Automatic = 2
+    Automatic = 0
+    PrimalDualLDLT = 1
+    PrimalLDLT = 2
+    # TPU-native alias kept for round-1 compatibility
+    SchurCholesky = 2
+
+    def to_kkt_backend(self) -> str:
+        if self == DenseBackend.PrimalDualLDLT:
+            return "primaldual"
+        if self == DenseBackend.PrimalLDLT:
+            return "schur"
+        return ""
 
 
 class EigenValueEstimateMethodOption(enum.IntEnum):
@@ -152,10 +161,19 @@ class Settings:
     high_accuracy: bool = False
 
     sparse_backend: SparseBackend = SparseBackend.Automatic
-    # KKT linear-system backend: "schur" (dense Schur-complement Cholesky,
-    # see ops/kkt.py) or "matrixfree" (MINRES over the masked KKT operator,
-    # the reference's SparseBackend::MatrixFree equivalent).
-    kkt_backend: str = "schur"
+    # KKT linear-system backend (reference DenseBackend, settings.hpp:26):
+    #  "schur"      - dense Schur-complement Cholesky (the reference's
+    #                 PrimalLDLT analogue; throughput engine, ops/kkt.py)
+    #  "primaldual" - signed LDLT of the full masked quasi-definite KKT
+    #                 (the reference's default PrimalDualLDLT analogue;
+    #                 robust at small mu / for LPs -- the Schur complement
+    #                 squares conditioning and pollutes dual directions
+    #                 with near-null components on rank-deficient duals)
+    #  "matrixfree" - MINRES over the masked KKT operator (the reference's
+    #                 SparseBackend::MatrixFree equivalent)
+    # "" = Automatic: primaldual for Zero-Hessian (LPs), schur otherwise
+    # (TPU cost model: schur factors m^2 vs primaldual (n+m)^2 per step).
+    kkt_backend: str = ""
     primal_infeasibility_solving: bool = False
     frequence_infeasibility_check: int = 1
     default_H_eigenvalue_estimate: float = 0.0

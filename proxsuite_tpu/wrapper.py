@@ -83,6 +83,8 @@ class QP:
         """Set up the model and run (or skip) equilibration
         (reference wrapper.hpp:354-518)."""
         sp, dt = self.spec, self.dtype
+        self._check_dims(H=H, g=g, A=A, b=b, C=C, l=l, u=u,
+                         l_box=l_box, u_box=u_box)
         if self.settings.high_accuracy:
             # keep the f64 host data: the HA pipeline splits it into
             # double-float word pairs at scaling time (api.split_df_host)
@@ -141,6 +143,26 @@ class QP:
         self.results = None
         return self
 
+    def _check_dims(self, **kw):
+        """Shape validation (reference PROXSUITE_CHECK_ARGUMENT_SIZE,
+        wrapper.hpp:380-451): mis-sized inputs raise, never mis-solve."""
+        import numpy as _np
+        sp = self.spec
+        expect = {
+            "H": (sp.n, sp.n), "g": (sp.n,),
+            "A": (sp.n_eq, sp.n), "b": (sp.n_eq,),
+            "C": (sp.n_in, sp.n), "u": (sp.n_in,), "l": (sp.n_in,),
+            "u_box": (sp.n,), "l_box": (sp.n,),
+        }
+        for name, val in kw.items():
+            if val is None:
+                continue
+            shape = tuple(_np.shape(val))
+            if shape != expect[name]:
+                raise ValueError(
+                    f"{name} has shape {shape}, expected {expect[name]} "
+                    f"for (n={sp.n}, n_eq={sp.n_eq}, n_in={sp.n_in})")
+
     def _rescale(self, execute: bool):
         if self.settings.high_accuracy:
             from .api import build_scaled_qp_ha, split_df_host
@@ -177,6 +199,8 @@ class QP:
         settings.update_preconditioner (reference wrapper.hpp:723-919)."""
         if self._model is None:
             raise RuntimeError("QP.update called before QP.init")
+        self._check_dims(H=H, g=g, A=A, b=b, C=C, l=l, u=u,
+                         l_box=l_box, u_box=u_box)
         dt = self.dtype
         for name, val in (("H", H), ("g", g), ("A", A), ("b", b), ("C", C),
                           ("l", l), ("u", u), ("l_box", l_box),

@@ -1,0 +1,126 @@
+"""Run the <=1000 Maros-Meszaros subset end-to-end, one line per problem.
+
+The reference correctness contract (test/src/dense_maros_meszaros.cpp:
+107-168): every problem with n, n_eq+n_in <= 1000 solves at eps_abs=2e-8
+with KKT residuals < 2*eps (checked in f64 on host with the independent
+oracle), then warm-resolves in 0 iterations.
+
+Modes:
+  default   : CPU, f64, eps=2e-8  (the reference contract)
+  --tpu     : real TPU chip, f32 + high_accuracy (double-float pipeline),
+              eps=1e-6 (BASELINE.md north star accuracy on TPU)
+Writes a JSON artifact (--out) consumed as a bench artifact.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tpu", action="store_true")
+    ap.add_argument("--eps", type=float, default=None)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--max", type=int, default=None, help="limit #problems")
+    ap.add_argument("--start", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    if not args.tpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_compile_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import numpy as np
+    import proxsuite_tpu as pt
+    from proxsuite_tpu.types import InitialGuess
+    from proxsuite_tpu.utils.maros_meszaros import (load_preprocessed,
+                                                    problems_within)
+    from proxsuite_tpu.utils.random_qp import kkt_residuals
+
+    eps = args.eps or (1e-6 if args.tpu else 2e-8)
+    if args.tpu:
+        settings = pt.Settings(eps_abs=eps, eps_rel=0.0, max_iter=1000,
+                               high_accuracy=True,
+                               eps_primal_inf=1e-12, eps_dual_inf=1e-12)
+        dtype = np.float32
+    else:
+        settings = pt.Settings(eps_abs=eps, eps_rel=0.0,
+                               eps_primal_inf=1e-12, eps_dual_inf=1e-12)
+        dtype = np.float64
+
+    names = problems_within(1000, 1000)[args.start:]
+    if args.max:
+        names = names[: args.max]
+    print(f"{len(names)} problems, eps={eps:g}, "
+          f"device={jax.devices()[0]}", flush=True)
+
+    results = []
+    n_pass = 0
+    t_total = 0.0
+    for name in names:
+        orig, padded, dims = load_preprocessed(name)
+        n, n_eq, n_in = dims
+        try:
+            qp = pt.QP(padded.H.shape[0], padded.A.shape[0],
+                       padded.C.shape[0], settings=settings, dtype=dtype)
+            qp.init(H=padded.H, g=padded.g, A=padded.A, b=padded.b,
+                    C=padded.C, l=padded.l, u=padded.u)
+            t0 = time.perf_counter()
+            res = qp.solve()
+            jax.block_until_ready(res.x)
+            t = time.perf_counter() - t0
+            x = res.x_full()[:n]
+            y = res.y_full()[:n_eq]
+            z = res.z_full()[:n_in]
+            pri, dua = kkt_residuals(orig, x, y, z)
+            status = int(res.info.status)
+            iters = int(res.info.iter)
+            # warm resolve (CPU contract only; 0 iterations expected)
+            warm_iters = None
+            if not args.tpu:
+                qp.settings = qp.settings.replace(
+                    initial_guess=InitialGuess.WARM_START_WITH_PREVIOUS_RESULT)
+                warm_iters = int(qp.solve().info.iter)
+            ok = (status == 0 and pri < 2 * eps and dua < 2 * eps
+                  and (warm_iters in (None, 0)))
+        except Exception as e:  # noqa: BLE001 - record and continue
+            ok, status, iters, pri, dua, t, warm_iters = (
+                False, -1, 0, float("inf"), float("inf"), 0.0, None)
+            print(f"  EXC {name}: {type(e).__name__}: {str(e)[:120]}",
+                  flush=True)
+        n_pass += ok
+        t_total += t
+        results.append(dict(name=name, n=n, n_eq=n_eq, n_in=n_in, ok=ok,
+                            status=status, iter=iters, pri=float(pri),
+                            dua=float(dua), time_s=round(t, 3),
+                            warm_iters=warm_iters))
+        print(f"{'PASS' if ok else 'FAIL'} {name:10s} n={n:4d} m={n_eq+n_in:4d} "
+              f"status={status} iter={iters:4d} pri={pri:.2e} dua={dua:.2e} "
+              f"t={t:.2f}s"
+              + (f" warm={warm_iters}" if warm_iters is not None else ""),
+              flush=True)
+
+    summary = dict(
+        mode="tpu_f32_high_accuracy" if args.tpu else "cpu_f64",
+        eps_abs=eps, n_problems=len(names), n_pass=n_pass,
+        total_solve_s=round(t_total, 2),
+        device=str(jax.devices()[0]), problems=results)
+    print(f"\n{n_pass}/{len(names)} pass at eps={eps:g} "
+          f"(KKT < 2*eps, f64 oracle)", flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

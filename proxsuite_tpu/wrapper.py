@@ -152,7 +152,11 @@ class QP:
             "H": (sp.n, sp.n), "g": (sp.n,),
             "A": (sp.n_eq, sp.n), "b": (sp.n_eq,),
             "C": (sp.n_in, sp.n), "u": (sp.n_in,), "l": (sp.n_in,),
-            "u_box": (sp.n,), "l_box": (sp.n,),
+            # non-box QPs carry shape-(0,) box arrays (save_qp stores them
+            # that way for every QP; reference wrapper.hpp:380-451 only
+            # checks box shapes when box_constraints is set)
+            "u_box": (sp.n if sp.box_constraints else 0,),
+            "l_box": (sp.n if sp.box_constraints else 0,),
         }
         for name, val in kw.items():
             if val is None:

@@ -37,6 +37,25 @@ def _clamp_bounds(u, l):
     return u_cl, l_cl
 
 
+def default_rho_for(spec: ProblemSpec, settings: Settings, dtype) -> float:
+    """Dtype/structure-aware proximal-rho default.
+
+    The reference already keys the rho default on the backend (1e-6 for
+    PrimalDualLDLT, 1e-5 for PrimalLDLT, settings.hpp:87-109). On TPU the
+    analogous hazard is single precision + Zero Hessian: the KKT block
+    P = rho*I makes kappa(K) ~ 1/rho, and at rho=1e-6 an f32
+    factorization cannot refine (contraction rate kappa*eps_f32 > 1 --
+    observed NaN divergence on box LPs). rho=1e-4 keeps kappa within the
+    refinement contraction regime; the proximal outer loop absorbs the
+    larger rho with a few extra iterations.
+    """
+    rho = settings.default_rho
+    if (jnp.finfo(dtype).bits < 64
+            and spec.hessian_type == HessianType.Zero):
+        rho = max(rho, 1e-4)
+    return rho
+
+
 def extend_box(spec: ProblemSpec, C, u, l, u_box, l_box, dtype):
     """Materialize box constraints as identity rows appended to C.
 
@@ -138,7 +157,8 @@ def solve_scaled(
         xs = jnp.zeros((spec.n,), dtype)
         ys = jnp.zeros((spec.n_eq,), dtype)
         zs = jnp.zeros((spec.n_c,), dtype)
-    rho = jnp.asarray(settings.default_rho if rho is None else rho, dtype)
+    rho = jnp.asarray(default_rho_for(spec, settings, dtype)
+                      if rho is None else rho, dtype)
     mu_eq = jnp.asarray(settings.default_mu_eq if mu_eq is None else mu_eq, dtype)
     mu_in = jnp.asarray(settings.default_mu_in if mu_in is None else mu_in, dtype)
     # full operand precision on TPU (see build_scaled_qp)
@@ -161,6 +181,7 @@ def build_scaled_qp_ha(
     spec: ProblemSpec,
     settings: Settings,
     H, H_lo, g, g_lo, A, A_lo, b, b_lo, C, C_lo, u, u_lo, l, l_lo,
+    u_box=None, u_box_lo=None, l_box=None, l_box_lo=None,
 ) -> ScaledQP:
     """High-accuracy setup: f64 data arrives as (hi, lo) f32 word pairs
     (split_df_host); Ruiz runs on the hi words to pick the scalings, then
@@ -168,10 +189,20 @@ def build_scaled_qp_ha(
     error-free products (ops/df.py df_mul/two_prod) so the solved problem
     matches the f64 input to ~2^-45 instead of f32's 2^-24. The hi words
     of the result feed the factorizations; the lo words feed the residual
-    paths. Dense, no box (the HA pipeline's current scope)."""
+    paths. Box constraints become exact identity rows appended to C
+    (lo word 0), mirroring extend_box; every HessianType works (Ruiz is
+    hessian_type-aware, and zero/diagonal H have exact lo words)."""
     from .ops.df import df_mul, two_prod
 
     with jax.default_matmul_precision("highest"):
+        if spec.box_constraints:
+            eye = jnp.eye(spec.n, dtype=C.dtype)
+            C = jnp.concatenate([C, eye], axis=0)
+            C_lo = jnp.concatenate([C_lo, jnp.zeros_like(eye)], axis=0)
+            u = jnp.concatenate([u, u_box])
+            u_lo = jnp.concatenate([u_lo, u_box_lo])
+            l = jnp.concatenate([l, l_box])
+            l_lo = jnp.concatenate([l_lo, l_box_lo])
         u_cl, l_cl = _clamp_bounds(u, l)
         rz = ruiz_equilibrate(
             H, g, A, b, C, u_cl, l_cl,

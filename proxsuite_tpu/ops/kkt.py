@@ -239,10 +239,15 @@ def kkt_residual(
     combine in double-float before collapsing (see ops/df.py) -- the f32
     equivalent of the reference's extra-precise refinement residual.
     """
-    if high_accuracy and isinstance(op.H, jax.Array) \
-            and spec.hessian_type == HessianType.Dense:
-        from .df import df_add, df_add_f32, df_neg, df_to_f32, exact_matvec
-        Hdx_df = exact_matvec(op.H, dx)
+    if high_accuracy and isinstance(op.H, jax.Array):
+        from .df import (df_add, df_add_f32, df_neg, df_to_f32, exact_matvec,
+                         two_prod)
+        if spec.hessian_type == HessianType.Zero:
+            Hdx_df = (jnp.zeros_like(dx), jnp.zeros_like(dx))
+        elif spec.hessian_type == HessianType.Diagonal:
+            Hdx_df = two_prod(jnp.diagonal(op.H), dx)
+        else:
+            Hdx_df = exact_matvec(op.H, dx)
         s1 = df_add(df_add(df_add_f32(Hdx_df, rho * dx),
                            exact_matvec(op.A.T, dy)),
                     exact_matvec(op.C.T, sys.mask * dz))

@@ -215,8 +215,7 @@ def global_dual_residual(
     all four terms are exact-matvec'd and combined in double-float before
     the lossy unscale of the (small) result.
     """
-    if settings.high_accuracy and not spec.box_constraints \
-            and spec.hessian_type == HessianType.Dense:
+    if settings.high_accuracy:
         return _global_dual_residual_ha(spec, qp, x, y, z,
                                         active_up, active_low,
                                         x_lo, y_lo, z_lo)
@@ -297,10 +296,13 @@ def _global_dual_residual_ha(
     x, y, z, active_up, active_low,
     x_lo=None, y_lo=None, z_lo=None,
 ) -> DualResidualOut:
-    """High-accuracy dual residual (Dense hessian, no box): the stationarity
-    sum and the duality-gap scalar cancellation run in double-float."""
+    """High-accuracy dual residual: the stationarity sum and the
+    duality-gap scalar cancellation run in double-float. Covers every
+    HessianType (zero/diagonal H contribute exact elementwise products)
+    and box constraints (generic and box C^T z norms kept separate for the
+    relative criterion, utils.hpp:508-526)."""
     from .df import (df_add, df_add_f32, df_to_f32, exact_dot, exact_matvec,
-                     two_sum)
+                     two_prod, two_sum)
 
     from .df import exact_matvec_d
 
@@ -308,14 +310,41 @@ def _global_dual_residual_ha(
         return exact_matvec_d(M, M_lo, v, v_lo)
 
     tr = lambda M: None if M is None else M.T
+    dtype = x.dtype
     inv_dxc = 1.0 / (qp.delta_x * qp.c)
-    Hx_df = mvd(qp.H, qp.H_lo, x, x_lo)
-    Hx = df_to_f32(Hx_df)
-    rhs_0 = infty_norm(Hx * inv_dxc)
+    if spec.hessian_type == HessianType.Zero:
+        Hx_df = (jnp.zeros_like(x), jnp.zeros_like(x))
+        Hx = Hx_df[0]
+        rhs_0 = jnp.asarray(0.0, dtype)
+    elif spec.hessian_type == HessianType.Diagonal:
+        d = jnp.diagonal(qp.H)
+        Hx_df = two_prod(d, x)
+        if qp.H_lo is not None:
+            Hx_df = df_add_f32(Hx_df, jnp.diagonal(qp.H_lo) * x)
+        if x_lo is not None:
+            Hx_df = df_add_f32(Hx_df, d * x_lo)
+        Hx = df_to_f32(Hx_df)
+        rhs_0 = infty_norm(Hx * inv_dxc)
+    else:
+        Hx_df = mvd(qp.H, qp.H_lo, x, x_lo)
+        Hx = df_to_f32(Hx_df)
+        rhs_0 = infty_norm(Hx * inv_dxc)
     ATy_df = mvd(qp.A.T, tr(qp.A_lo), y, y_lo)
     rhs_1 = infty_norm(df_to_f32(ATy_df) * inv_dxc)
-    CTz_df = mvd(qp.C.T, tr(qp.C_lo), z, z_lo)
-    rhs_3 = infty_norm(df_to_f32(CTz_df) * inv_dxc)
+    if spec.box_constraints:
+        ni = spec.n_in
+        C_lo_in = None if qp.C_lo is None else qp.C_lo[:ni]
+        C_lo_bx = None if qp.C_lo is None else qp.C_lo[ni:]
+        CTz_in_df = mvd(qp.C[:ni].T, tr(C_lo_in), z[:ni],
+                        None if z_lo is None else z_lo[:ni])
+        CTz_bx_df = mvd(qp.C[ni:].T, tr(C_lo_bx), z[ni:],
+                        None if z_lo is None else z_lo[ni:])
+        rhs_3 = jnp.maximum(infty_norm(df_to_f32(CTz_in_df) * inv_dxc),
+                            infty_norm(df_to_f32(CTz_bx_df) * inv_dxc))
+        CTz_df = df_add(CTz_in_df, CTz_bx_df)
+    else:
+        CTz_df = mvd(qp.C.T, tr(qp.C_lo), z, z_lo)
+        rhs_3 = infty_norm(df_to_f32(CTz_df) * inv_dxc)
     dr_df = df_add(df_add(df_add_f32(Hx_df, qp.g), ATy_df), CTz_df)
     if qp.g_lo is not None:
         dr_df = df_add_f32(dr_df, qp.g_lo)

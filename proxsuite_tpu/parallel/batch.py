@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..api import build_scaled_qp, solve_scaled
+from ..api import build_scaled_qp, build_scaled_qp_ha, solve_scaled, \
+    split_df_host
 from ..types import ProblemSpec, Results, Settings
 
 
@@ -40,6 +41,19 @@ def _solve_batch_jit(spec: ProblemSpec, settings: Settings,
         return solve_scaled(spec, settings, qp)
 
     return jax.vmap(one)(H, g, A, b, C, u, l, u_box, l_box)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _solve_batch_ha_jit(spec: ProblemSpec, settings: Settings,
+                        *parts) -> Results:
+    """Batched high-accuracy solve: each lane runs the double-float
+    pipeline (api.build_scaled_qp_ha); parts are 18 hi/lo word arrays
+    (H,g,A,b,C,u,l,u_box,l_box), each with a leading batch axis."""
+    def one(*p):
+        qp = build_scaled_qp_ha(spec, settings, *p)
+        return solve_scaled(spec, settings, qp)
+
+    return jax.vmap(one)(*parts)
 
 
 def _batch_arrays(spec: ProblemSpec, H, g, A, b, C, u, l, u_box, l_box, dtype):
@@ -84,13 +98,47 @@ def solve_in_parallel(
     settings = settings or Settings()
     if overrides:
         settings = settings.replace(**overrides)
-    g = jnp.asarray(g)
-    dtype = g.dtype
-    bsz, n = g.shape
+    bsz, n = np.shape(g)
     n_eq = 0 if A is None else np.shape(A)[1]
     n_in = 0 if C is None else np.shape(C)[1]
     box = u_box is not None or l_box is not None
     spec = ProblemSpec(n=n, n_eq=n_eq, n_in=n_in, box_constraints=box)
+
+    if settings.high_accuracy:
+        # double-float path: ingest f64 host data as (hi, lo) f32 pairs
+        nb = n if box else 0
+        defaults = dict(H=np.zeros((bsz, n, n)), A=np.zeros((bsz, n_eq, n)),
+                        b=np.zeros((bsz, n_eq)), C=np.zeros((bsz, n_in, n)),
+                        u=np.full((bsz, n_in), np.inf),
+                        l=np.full((bsz, n_in), -np.inf),
+                        u_box=np.full((bsz, nb), np.inf),
+                        l_box=np.full((bsz, nb), -np.inf))
+        parts = []
+        for name, val in (("H", H), ("g", g), ("A", A), ("b", b), ("C", C),
+                          ("u", u), ("l", l), ("u_box", u_box),
+                          ("l_box", l_box)):
+            v64 = defaults[name] if val is None else np.asarray(
+                val, np.float64)
+            hi, lo = split_df_host(v64)
+            parts.extend([jnp.asarray(hi), jnp.asarray(lo)])
+        if mesh is not None:
+            n_dev = mesh.shape[axis_name]
+            if bsz % n_dev != 0:
+                raise ValueError(
+                    f"batch size {bsz} must divide the mesh axis "
+                    f"{axis_name}={n_dev}")
+            sharding = NamedSharding(mesh, P(axis_name))
+            parts = [jax.device_put(p, sharding) for p in parts]
+        if chunk_size is None or bsz <= chunk_size:
+            return _solve_batch_ha_jit(spec, settings, *parts)
+        outs = []
+        for lo_i in range(0, bsz, chunk_size):
+            chunk = tuple(p[lo_i: lo_i + chunk_size] for p in parts)
+            outs.append(_solve_batch_ha_jit(spec, settings, *chunk))
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+
+    g = jnp.asarray(g)
+    dtype = g.dtype
     arrays = _batch_arrays(spec, H, g, A, b, C, u, l, u_box, l_box, dtype)
 
     if mesh is not None:

@@ -188,6 +188,11 @@ def inner_newton(
             tr = lambda M: None if M is None else M.T
             if spec.hessian_type == HessianType.Dense:
                 Hdx_df = exact_matvec_d(qp.H, qp.H_lo, dx)
+            elif spec.hessian_type == HessianType.Diagonal:
+                Hdx_df = two_prod(jnp.diagonal(qp.H), dx)
+                if qp.H_lo is not None:
+                    Hdx_df = df_add_f32(Hdx_df,
+                                        jnp.diagonal(qp.H_lo) * dx)
             else:
                 Hdx_df = (jnp.zeros_like(dx), jnp.zeros_like(dx))
             Adx_df = exact_matvec_d(qp.A, qp.A_lo, dx)

@@ -88,12 +88,9 @@ class QP:
         if self.settings.high_accuracy:
             # keep the f64 host data: the HA pipeline splits it into
             # double-float word pairs at scaling time (api.split_df_host)
-            if sp.box_constraints or sp.hessian_type != HessianType.Dense:
-                raise ValueError(
-                    "high_accuracy currently supports dense-Hessian, "
-                    "non-box problems")
             import numpy as _np
             z2 = lambda *shp: _np.zeros(shp, _np.float64)
+            nb = sp.n if sp.box_constraints else 0
             self._model64 = {
                 "H": z2(sp.n, sp.n) if H is None else _np.asarray(H, _np.float64),
                 "g": _np.asarray(g, _np.float64),
@@ -104,6 +101,10 @@ class QP:
                       else _np.asarray(u, _np.float64)),
                 "l": (_np.full(sp.n_in, -_np.inf) if l is None
                       else _np.asarray(l, _np.float64)),
+                "u_box": (_np.full(nb, _np.inf) if u_box is None
+                          else _np.asarray(u_box, _np.float64)),
+                "l_box": (_np.full(nb, -_np.inf) if l_box is None
+                          else _np.asarray(l_box, _np.float64)),
             }
         model = {
             "H": jnp.zeros((sp.n, sp.n), dt) if H is None else jnp.asarray(H, dt),
@@ -121,7 +122,9 @@ class QP:
         self._model = model
 
         # proximal parameter overrides (helpers.hpp:678-705)
-        rho_val = self.settings.default_rho if rho is None else float(rho)
+        from .api import default_rho_for
+        rho_val = (default_rho_for(sp, self.settings, dt)
+                   if rho is None else float(rho))
         # nonconvex support: rho += |min eigenvalue estimate|
         # (helpers.hpp:174-189)
         if manual_minimal_H_eigenvalue is not None:
@@ -172,7 +175,8 @@ class QP:
             from .api import build_scaled_qp_ha, split_df_host
             m = self._model64
             parts = []
-            for k in ("H", "g", "A", "b", "C", "u", "l"):
+            for k in ("H", "g", "A", "b", "C", "u", "l",
+                      "u_box", "l_box"):
                 hi, lo = split_df_host(m[k])
                 parts.extend([jnp.asarray(hi), jnp.asarray(lo)])
             self._scaled = build_scaled_qp_ha(

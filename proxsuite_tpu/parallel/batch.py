@@ -44,6 +44,25 @@ def _solve_batch_jit(spec: ProblemSpec, settings: Settings,
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
+def _solve_batch_state_jit(spec: ProblemSpec, settings: Settings,
+                           H, g, A, b, C, u, l, u_box, l_box,
+                           rho, mu_eq, mu_in, x0, y0, z0) -> Results:
+    """Batched solve with PER-LANE proximal parameters and warm starts
+    (the reference's parallel loop solves each QP with its own state,
+    parallel/qp_solve.hpp:33-60)."""
+    def one(H, g, A, b, C, u, l, u_box, l_box, rho, mu_eq, mu_in,
+            x0, y0, z0):
+        qp = build_scaled_qp(
+            spec, settings, H, g, A, b, C, u, l, u_box, l_box,
+            execute_preconditioner=settings.compute_preconditioner)
+        return solve_scaled(spec, settings, qp, x0, y0, z0,
+                            rho=rho, mu_eq=mu_eq, mu_in=mu_in)
+
+    return jax.vmap(one)(H, g, A, b, C, u, l, u_box, l_box,
+                         rho, mu_eq, mu_in, x0, y0, z0)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
 def _solve_batch_ha_jit(spec: ProblemSpec, settings: Settings,
                         *parts) -> Results:
     """Batched high-accuracy solve: each lane runs the double-float
@@ -204,6 +223,156 @@ def solve_backward_in_parallel(
         spec, settings, eps_backward, rho_backward, mu_backward,
         *arrays, jnp.asarray(dL_dx, dtype), jnp.asarray(dL_dy, dtype),
         jnp.asarray(dL_dz, dtype))
+
+
+def solve_in_parallel_ragged(
+    problems,
+    *,
+    settings: Optional[Settings] = None,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = "batch",
+    dtype=None,
+    rho=None, mu_eq=None, mu_in=None,
+    warm_starts=None,
+    **overrides,
+):
+    """Solve a batch of dense QPs with ARBITRARY per-QP dims.
+
+    The reference's solve_in_parallel takes a vector of independently
+    sized QPs (parallel/qp_solve.hpp:17-60); here each QP is neutrally
+    padded to the next shape bucket (utils/padding.py) and each bucket is
+    solved as one vmapped program, so a mixed-dims batch costs a handful
+    of compiles instead of one per QP.
+
+    problems: sequence of dicts with keys H,g,A,b,C,u,l (optionally
+    u_box,l_box); missing/None entries mean "absent" as in solve().
+    rho/mu_eq/mu_in: optional per-QP scalars (sequences, same length).
+    warm_starts: optional per-QP (x0, y0, z0) tuples (None entries =
+    cold start lanes; requires a warm initial_guess setting to be used).
+    Returns a list of per-QP Results, sliced back to the original dims,
+    in input order.
+    """
+    from ..types import InitialGuess
+    from ..utils.padding import bucket, pad_dense_qp
+
+    settings = settings or Settings()
+    if overrides:
+        settings = settings.replace(**overrides)
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    problems = list(problems)
+    B = len(problems)
+    if not B:
+        return []
+
+    def dims_of(p):
+        n = np.shape(p["g"])[0]
+        n_eq = 0 if p.get("A") is None else np.shape(p["A"])[0]
+        n_in = 0 if p.get("C") is None else np.shape(p["C"])[0]
+        box = p.get("u_box") is not None or p.get("l_box") is not None
+        return n, n_eq, n_in, box
+
+    # group problem indices by padded bucket shape; a batch that is
+    # already shape-uniform skips padding entirely (no wasted flops)
+    metas = [dims_of(p) for p in problems]
+    any_box = any(m[3] for m in metas)
+    uniform = len({m[:3] for m in metas}) == 1
+    groups = {}
+    for i, (n, n_eq, n_in, box) in enumerate(metas):
+        key = ((n, n_eq, n_in) if uniform
+               else (bucket(n), bucket(n_eq), bucket(n_in)))
+        groups.setdefault(key, []).append(i)
+
+    results = [None] * B
+    warm = settings.initial_guess in (
+        InitialGuess.WARM_START,
+        InitialGuess.WARM_START_WITH_PREVIOUS_RESULT,
+        InitialGuess.COLD_START_WITH_PREVIOUS_RESULT)
+    for (n_p, ne_p, ni_p), idxs in groups.items():
+        spec = ProblemSpec(n=n_p, n_eq=ne_p, n_in=ni_p,
+                           box_constraints=any_box)
+        padded = []
+        for i in idxs:
+            p = problems[i]
+            kw = dict(p)
+            if any_box and p.get("u_box") is None and p.get("l_box") is None:
+                kw["u_box"] = np.full(np.shape(p["g"])[0], np.inf)
+            padded.append(pad_dense_qp(
+                kw.get("H"), kw["g"], kw.get("A"), kw.get("b"),
+                kw.get("C"), kw.get("u"), kw.get("l"),
+                kw.get("u_box"), kw.get("l_box"),
+                n_pad=n_p, n_eq_pad=ne_p, n_in_pad=ni_p))
+        st = lambda k: jnp.asarray(
+            np.stack([q[k] for q in padded]), dtype)
+        if any_box:
+            arrays = (st("H"), st("g"), st("A"), st("b"), st("C"),
+                      st("u"), st("l"), st("u_box"), st("l_box"))
+        else:
+            nb = jnp.zeros((len(idxs), 0), dtype)
+            arrays = (st("H"), st("g"), st("A"), st("b"), st("C"),
+                      st("u"), st("l"), nb, nb)
+
+        def lane_vals(seq, default):
+            if seq is None:
+                return jnp.full((len(idxs),), default, dtype)
+            return jnp.asarray([default if seq[i] is None else seq[i]
+                                for i in idxs], dtype)
+
+        from ..api import default_rho_for
+        rho_a = lane_vals(rho, default_rho_for(spec, settings, dtype))
+        mu_eq_a = lane_vals(mu_eq, settings.default_mu_eq)
+        mu_in_a = lane_vals(mu_in, settings.default_mu_in)
+
+        n_c_p = ni_p + (n_p if any_box else 0)
+        x0 = np.zeros((len(idxs), n_p))
+        y0 = np.zeros((len(idxs), ne_p))
+        z0 = np.zeros((len(idxs), n_c_p))
+        if warm and warm_starts is not None:
+            for j, i in enumerate(idxs):
+                ws = warm_starts[i]
+                if ws is None:
+                    continue
+                wx, wy, wz = ws
+                ni, nei, nii = metas[i][0], metas[i][1], metas[i][2]
+                if wx is not None:
+                    x0[j, :ni] = np.asarray(wx)
+                if wy is not None:
+                    y0[j, :nei] = np.asarray(wy)
+                if wz is not None:
+                    wz = np.asarray(wz)
+                    z0[j, :min(nii, wz.shape[0])] = wz[:nii]
+                    if any_box and wz.shape[0] == nii + ni:
+                        z0[j, ni_p: ni_p + ni] = wz[nii:]
+
+        if mesh is not None:
+            sharding = NamedSharding(mesh, P(axis_name))
+            arrays = tuple(jax.device_put(a, sharding) for a in arrays)
+        res = _solve_batch_state_jit(
+            spec, settings, *arrays, rho_a, mu_eq_a, mu_in_a,
+            jnp.asarray(x0, dtype), jnp.asarray(y0, dtype),
+            jnp.asarray(z0, dtype))
+        for j, i in enumerate(idxs):
+            n, n_eq, n_in, box = metas[i]
+            lane = jax.tree.map(lambda a, j=j: a[j], res)
+            # slice vector outputs back to the original dims; z keeps the
+            # [ineq; box] layout of the ORIGINAL problem
+            def cut(v, k):
+                return None if v is None else v[:k]
+            z = lane.z[:n_in]
+            z_lo = cut(lane.z_lo, n_in)
+            se = lane.se[:n_eq]
+            si = lane.si[:n_in]
+            if any_box:
+                z = jnp.concatenate([z, lane.z[ni_p: ni_p + n]])
+                if z_lo is not None:
+                    z_lo = jnp.concatenate(
+                        [z_lo, lane.z_lo[ni_p: ni_p + n]])
+                si = jnp.concatenate([si, lane.si[ni_p: ni_p + n]])
+            results[i] = lane._replace(
+                x=lane.x[:n], y=lane.y[:n_eq], z=z,
+                x_lo=cut(lane.x_lo, n), y_lo=cut(lane.y_lo, n_eq),
+                z_lo=z_lo, se=se, si=si)
+    return results
 
 
 class BatchQP:

@@ -30,6 +30,11 @@ _INVERSE_ALIASES = {
 _DEAD_REFERENCE_KNOBS = {
     "refactor_dual_feasibility_threshold",
     "refactor_rho_threshold",
+    # eps_refact: the reference reads it for its refinement
+    # refactorization fallback (solver.hpp:474-532); this core's Schur
+    # factor does not depend on mu so there is nothing to refactor
+    # (types.py Settings NOTE)
+    "eps_refact",
 }
 
 

@@ -119,9 +119,13 @@ class BatchQP:
     batch is solved as one vmapped program by `solve_in_parallel`."""
 
     def __init__(self, batch_size: int = 0):
+        # batch_size is a capacity hint in the reference (the arena
+        # pre-reserves storage, wrapper.hpp:1262); lists need no reserve
         self._qps = []
 
     def init_qp_in_place(self, n: int, n_eq: int, n_in: int) -> QP:
+        # per-QP dims are allowed: solve_in_parallel buckets mixed-dims
+        # batches via neutral padding (parallel/batch.py)
         qp = QP(n, n_eq, n_in)
         self._qps.append(qp)
         return qp
@@ -148,39 +152,71 @@ def solve(H=None, g=None, A=None, b=None, C=None, l=None, u=None,
     return ResultsView(res)
 
 
-def _gather_batch(qps) -> tuple:
-    if isinstance(qps, BatchQP):
-        items = qps._qps
-    else:
-        items = list(qps)
+def solve_in_parallel(qps, num_threads: Optional[int] = None) -> None:
+    """Solve a BatchQP / list of QPs as vmapped TPU programs.
+
+    Reference: proxqp/parallel/qp_solve.hpp:17-82 (OpenMP parallel-for
+    over independently-sized, independently-configured QPs). Here each
+    QP keeps its OWN proximal parameters (rho/mu overrides from init),
+    box bounds, and warm start; heterogeneous dims are solved by
+    bucketed neutral padding (parallel/batch.solve_in_parallel_ragged).
+    The one per-QP state that cannot vary inside a single compiled
+    program is Settings (it is compile-time static), so differing
+    settings raise instead of being silently dropped. num_threads is
+    accepted for API compatibility and ignored (vmap lanes are the
+    parallelism). Results land in each qp.results.
+    """
+    from ..types import InitialGuess
+
+    items = qps._qps if isinstance(qps, BatchQP) else list(qps)
     if not items:
         raise ValueError("empty batch")
-    models = [q._core._model for q in items]
-    for m in models:
+    frozen = [q.settings.freeze() for q in items]
+    if any(f != frozen[0] for f in frozen[1:]):
+        raise ValueError(
+            "solve_in_parallel requires identical settings across the "
+            "batch: Settings are compile-time static, so per-QP settings "
+            "cannot ride one vmapped program (the reference runs each QP "
+            "with its own settings, parallel/qp_solve.hpp:33-60 -- solve "
+            "differing QPs in separate calls)")
+    settings = frozen[0]
+
+    problems, rhos, mu_eqs, mu_ins, warms = [], [], [], [], []
+    warm_modes = (InitialGuess.WARM_START,
+                  InitialGuess.WARM_START_WITH_PREVIOUS_RESULT,
+                  InitialGuess.COLD_START_WITH_PREVIOUS_RESULT)
+    for q in items:
+        core = q._core
+        m = core._model
         if m is None:
             raise RuntimeError("every QP in the batch must be init()ed")
-    stack = lambda k: np.stack([np.asarray(m[k]) for m in models])
-    return items, (stack("H"), stack("g"), stack("A"), stack("b"),
-                   stack("C"), stack("u"), stack("l"))
+        p = dict(H=np.asarray(m["H"]), g=np.asarray(m["g"]),
+                 A=np.asarray(m["A"]), b=np.asarray(m["b"]),
+                 C=np.asarray(m["C"]), u=np.asarray(m["u"]),
+                 l=np.asarray(m["l"]))
+        if core.spec.box_constraints:
+            p["u_box"] = np.asarray(m["u_box"])
+            p["l_box"] = np.asarray(m["l_box"])
+        problems.append(p)
+        rhos.append(core._rho)
+        mu_eqs.append(core._mu_eq)
+        mu_ins.append(core._mu_in)
+        ws = None
+        if settings.initial_guess in warm_modes:
+            if core._warm is not None:
+                ws = tuple(np.asarray(v) for v in core._warm)
+            elif core.results is not None:
+                ws = (np.asarray(core.results.x),
+                      np.asarray(core.results.y),
+                      np.asarray(core.results.z))
+        warms.append(ws)
 
-
-def _scatter_results(items, res: Results):
-    import jax
-    for i, q in enumerate(items):
-        q._core.results = jax.tree.map(lambda a, i=i: a[i], res)
-
-
-def solve_in_parallel(qps, num_threads: Optional[int] = None) -> None:
-    """Solve a BatchQP / list of QPs as one vmapped TPU program.
-
-    Reference: proxqp/parallel/qp_solve.hpp:64-82 (OpenMP parallel-for);
-    num_threads is accepted for API compatibility and ignored -- the
-    batch parallelism is the vmap lanes. Results land in each qp.results.
-    """
-    items, (H, g, A, b, C, u, l) = _gather_batch(qps)
-    settings = items[0].settings.freeze()
-    res = _batch.solve_in_parallel(H, g, A, b, C, u, l, settings=settings)
-    _scatter_results(items, res)
+    res_list = _batch.solve_in_parallel_ragged(
+        problems, settings=settings, rho=rhos, mu_eq=mu_eqs,
+        mu_in=mu_ins, warm_starts=warms)
+    for q, r in zip(items, res_list):
+        q._core.results = r
+        q._core._warm = None
 
 
 def compute_backward(qp: QP, loss_derivative, eps: float = 1e-4,

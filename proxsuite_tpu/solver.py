@@ -52,12 +52,31 @@ from .types import (
 )
 
 
-def resolve_backend(spec: ProblemSpec, settings: Settings) -> str:
-    """kkt_backend Automatic rule (see types.py Settings docstring)."""
+def resolve_backend(spec: ProblemSpec, settings: Settings,
+                    dtype=None) -> str:
+    """kkt_backend Automatic rule (see types.py Settings docstring).
+
+    The reference's Automatic choice (dense_backend_choice,
+    dense/wrapper.hpp:82-113) is a flop model between factoring the full
+    (n+m) KKT and the n-sized primal form. On TPU the masked-Schur
+    n-factor always wins on flops (refactorize-always is one batched MXU
+    Cholesky), so the dims/accuracy-aware switch here is a CONDITIONING
+    escape hatch instead: the Schur form squares the KKT condition number
+    through its mu^-1 Gram terms, so when the requested accuracy is
+    tighter than ~sqrt(machine eps) of the working dtype the full
+    quasi-definite factor (primaldual) is the safe automatic choice.
+    high_accuracy is exempt: its double-float refinement restores the
+    Schur backend's accuracy (tests/test_high_accuracy.py at 1e-8).
+    """
     if settings.kkt_backend:
         return settings.kkt_backend
     if spec.hessian_type == HessianType.Zero:
+        # P = rho*I alone: the Schur form squares 1/rho -- always escape
         return "primaldual"
+    if dtype is not None and not settings.high_accuracy:
+        eps_mach = float(jnp.finfo(dtype).eps)
+        if settings.eps_abs < 1e-2 * eps_mach ** 0.5:
+            return "primaldual"
     return "schur"
 
 
@@ -164,7 +183,7 @@ def inner_newton(
                           jnp.where(low, -rl_v + shift, 0.0))
 
         # --- masked KKT solve with iterative refinement ---
-        backend = resolve_backend(spec, settings)
+        backend = resolve_backend(spec, settings, dtype)
         if backend == "matrixfree":
             sys = kkt.build_masked_system(spec, active, mu_eq, mu_in, dtype)
             solve_fn = kkt.minres_solve_fn(spec, settings, op, sys, rho)
@@ -440,7 +459,7 @@ def qp_solve_core(
     ha = settings.high_accuracy
 
     op = KKTOperand(H=qp.H, A=qp.A, C=qp.C)
-    backend = resolve_backend(spec, settings)
+    backend = resolve_backend(spec, settings, dtype)
     matrixfree = backend in ("matrixfree", "primaldual")
     if matrixfree:
         z0f = jnp.zeros((0,), dtype)
@@ -729,10 +748,15 @@ def qp_solve_core(
         y_un = unscale_y(qp, fin.y)
         z_un = unscale_z(qp, fin.z)
         x_un_lo = y_un_lo = z_un_lo = None
-    obj = (0.5 * fin.x @ (qp.H @ fin.x) + qp.g @ fin.x) / qp.c
+    # hessian-type dispatch skips the dense matvec for Zero/Diagonal
+    # (reference computes the objective on the typed model the same way)
+    obj = (0.5 * fin.x @ _hdx(spec, qp, fin.x) + qp.g @ fin.x) / qp.c
     info = Info(
         mu_eq=fin.mu_eq, mu_in=fin.mu_in, rho=rho,
         iter=fin.iter, iter_ext=fin.iter_ext,
+        # rho never changes inside a solve; the reference's rho_updates
+        # counter is also never incremented anywhere (results.hpp:42 is
+        # initialized to 0 and only printed) -- quirk parity
         mu_updates=fin.mu_updates, rho_updates=jnp.asarray(0, jnp.int32),
         status=fin.status, objValue=obj,
         pri_res=fin.pri_res, dua_res=fin.dua_res,

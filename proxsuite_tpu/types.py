@@ -132,7 +132,13 @@ class Settings:
     # looks exactly like a stall (QSCFXM1 needs ~50 flat iterations).
     inner_stall_iters: int = 0
     nb_iterative_refinement: int = 10
-    eps_refact: float = 1e-6
+    # NOTE: the reference's eps_refact triggers a refactorization fallback
+    # inside iterative refinement (solver.hpp:474-532). This core has no
+    # refactorization fallback BY DESIGN (ops/kkt.py: the Schur factor does
+    # not depend on mu, and a data-dependent lax.cond fallback would execute
+    # both branches under vmap, serializing batched solves), so the knob
+    # does not exist here; the bindings-compat layer accepts and ignores it
+    # (proxqp/_compat.py _DEAD_REFERENCE_KNOBS).
 
     verbose: bool = False
     initial_guess: InitialGuess = InitialGuess.EQUALITY_CONSTRAINED_INITIAL_GUESS

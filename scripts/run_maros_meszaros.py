@@ -30,13 +30,26 @@ def main():
     args = ap.parse_args()
 
     import jax
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if not args.tpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.dirname(
-                          os.path.abspath(__file__))), ".jax_compile_cache"))
+        # XLA:CPU AOT executables are machine-specific: a cache entry from
+        # a different host silently produces WRONG NUMERICS (see
+        # tests/conftest.py). Key the cache by the host CPU feature set.
+        import hashlib
+        try:
+            with open("/proc/cpuinfo") as f:
+                key = [hashlib.sha256(ln.encode()).hexdigest()[:12]
+                       for ln in f if ln.startswith("flags")][0]
+        except (OSError, IndexError):
+            import platform
+            key = platform.machine()
+        cache = os.path.join(repo, ".jax_compile_cache", key)
+    else:
+        cache = os.path.join(repo, ".jax_compile_cache_tpu")
+    jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import numpy as np
@@ -70,10 +83,18 @@ def main():
         orig, padded, dims = load_preprocessed(name)
         n, n_eq, n_in = dims
         try:
+            # nonconvex support (reference helpers.hpp:174-189 +
+            # examples/cpp/estimate_nonconvex_eigenvalue.cpp): slightly
+            # indefinite corpus Hessians (e.g. VALUES, min eig -1.3e-5)
+            # need rho > |min eig| for the Cholesky-based TPU backends
+            min_eig = float(np.linalg.eigvalsh(
+                np.asarray(padded.H, np.float64)).min())
             qp = pt.QP(padded.H.shape[0], padded.A.shape[0],
                        padded.C.shape[0], settings=settings, dtype=dtype)
             qp.init(H=padded.H, g=padded.g, A=padded.A, b=padded.b,
-                    C=padded.C, l=padded.l, u=padded.u)
+                    C=padded.C, l=padded.l, u=padded.u,
+                    manual_minimal_H_eigenvalue=(
+                        min_eig if min_eig < 0 else None))
             t0 = time.perf_counter()
             res = qp.solve()
             jax.block_until_ready(res.x)
@@ -108,6 +129,10 @@ def main():
               f"t={t:.2f}s"
               + (f" warm={warm_iters}" if warm_iters is not None else ""),
               flush=True)
+        if args.out:
+            # incremental artifact: a stalled problem never loses the run
+            with open(args.out + ".partial", "w") as f:
+                json.dump(results, f)
 
     summary = dict(
         mode="tpu_f32_high_accuracy" if args.tpu else "cpu_f64",

@@ -30,6 +30,10 @@ import jax
 import jax.numpy as jnp
 
 REPO = os.path.dirname(os.path.abspath(__file__))
+# persistent compile cache (TPU executables; no cross-host AOT hazard)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(REPO, ".jax_compile_cache_tpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 BASELINE_CACHE = os.path.join(REPO, "BASELINE_CPU.json")
 QPS_BIN = "/tmp/bench_qps.bin"
 
@@ -120,6 +124,57 @@ def run(B, dtype=jnp.float32, eps=1e-4, iters=3):
     return t, solved, max_iter_hit, mean_iter
 
 
+def run_ha(B=1024, eps=1e-8, iters=3):
+    """Batched HIGH-ACCURACY throughput: the double-float pipeline at
+    reference-grade eps on the same 128 base problems. This is the
+    reference's defining claim (README.md:141-147, Maros-Meszaros at
+    eps=1e-9) met on f32 TPU hardware via ops/df.py.
+
+    Returns (s/batch, solved, mean_iter, worst external f64 KKT residual
+    over 16 sampled lanes).
+    """
+    from scripts.make_bench_qps import B_UNIQUE, generate
+    from proxsuite_tpu.api import split_df_host
+    from proxsuite_tpu.parallel.batch import _solve_batch_ha_jit
+    from proxsuite_tpu.types import ProblemSpec, Settings
+    from proxsuite_tpu.utils.random_qp import kkt_residuals
+
+    qps = generate()
+    reps = -(-B // B_UNIQUE)
+    spec = ProblemSpec(n=100, n_eq=50, n_in=50)
+    settings = Settings(eps_abs=eps, eps_rel=0.0, high_accuracy=True,
+                        max_iter=200, max_iter_in=200, inner_stall_iters=20)
+    parts = []
+    for f in (lambda q: q.H, lambda q: q.g, lambda q: q.A, lambda q: q.b,
+              lambda q: q.C, lambda q: q.u, lambda q: q.l):
+        base = np.stack([np.asarray(f(q), np.float64) for q in qps])
+        v = np.tile(base, (reps,) + (1,) * (base.ndim - 1))[:B]
+        hi, lo = split_df_host(v)
+        parts.extend([jnp.asarray(hi), jnp.asarray(lo)])
+    for _ in range(2):  # u_box, l_box (absent)
+        hi, lo = split_df_host(np.zeros((B, 0)))
+        parts.extend([jnp.asarray(hi), jnp.asarray(lo)])
+
+    res = _solve_batch_ha_jit(spec, settings, *parts)  # compile + warm
+    solved = int(jnp.sum(res.info.status == 0))
+    xs, ys, zs = res.x_full(), res.y_full(), res.z_full()
+    worst = 0.0
+    for i in range(0, B, max(1, B // 16)):
+        pri, dua = kkt_residuals(qps[i % B_UNIQUE], xs[i], ys[i], zs[i])
+        worst = max(worst, pri, dua)
+
+    times = []
+    for k in range(iters):
+        pk = list(parts)
+        pk[2] = parts[2] + np.float32(1e-5 * (k + 1))  # g hi word
+        t0 = time.perf_counter()
+        r = _solve_batch_ha_jit(spec, settings, *pk)
+        n_ok = int(jnp.sum(r.info.status == 0))
+        times.append(time.perf_counter() - t0)
+        solved = min(solved, n_ok)
+    return min(times), solved, float(jnp.mean(res.info.iter)), worst
+
+
 def run_northstar(total=100_000, chunk=4096, dtype=jnp.float32, eps=1e-4):
     """Stream `total` QPs through the chip in chunks (north-star metric).
 
@@ -154,6 +209,7 @@ def main():
     t1k, solved1k, max_hit, mean_iter = run(B=1024, eps=eps)
     tns, n_ns, solved_ns = run_northstar()
     per_qp_ns = tns / n_ns
+    t_ha, solved_ha, iter_ha, kkt_ha = run_ha(B=1024, eps=1e-8)
 
     cpu_ms = (baseline or {}).get(f"eps_{eps:g}", {}).get("ms_per_qp",
                                                           float("nan"))
@@ -174,6 +230,14 @@ def main():
         "solved_b1024": solved1k,
         "max_iter_hit_b1024": max_hit,
         "mean_iter": round(mean_iter, 1),
+        # high-accuracy regime: double-float pipeline at eps=1e-8 vs the
+        # reference's 1-core ms/QP at its native 1e-9 accuracy
+        "ha_eps": 1e-8,
+        "ha_ms_per_qp_b1024": round(1e3 * t_ha / 1024, 4),
+        "ha_vs_ref_1e-9": round(cpu_ms_hi / (1e3 * t_ha / 1024), 3),
+        "ha_solved_b1024": solved_ha,
+        "ha_mean_iter": round(iter_ha, 1),
+        "ha_worst_sampled_kkt": float(f"{kkt_ha:.3e}"),
         "device": str(jax.devices()[0]),
         "baseline_provenance": (baseline or {}).get("provenance", "missing"),
     }

@@ -89,7 +89,7 @@ def _compute_backward_hp(
     r1 = -dL_dx * (qp.delta_x * qp.c)
     r2 = -dL_dy * qp.delta_y
     r3 = jnp.where(active, -dL_dz * qp.delta_z, 0.0)
-    kx, ky, kzJ, _ = kkt.solve_with_refinement(
+    kx, ky, kzJ, _, _ = kkt.solve_with_refinement(
         spec, settings, factors, op, sys, rho, r1, r2, r3,
         jnp.asarray(eps, dtype))
     # inactive adjoint z entries take the raw incoming derivative, then get

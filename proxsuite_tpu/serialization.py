@@ -74,7 +74,7 @@ def results_to_dict(results: Results) -> dict:
 
 def results_from_dict(d: dict, dtype=np.float64) -> Results:
     info_d = d["info"]
-    int_fields = {"iter", "iter_ext", "mu_updates", "rho_updates", "status"}
+    int_fields = {"iter", "iter_ext", "mu_updates", "rho_updates", "status", "minres_iters"}
     info = Info(**{
         k: np.asarray(v, np.int32 if k in int_fields else dtype)
         for k, v in info_d.items()})
@@ -200,7 +200,7 @@ def load_qp(path_or_buf):
     if meta["has_results"]:
         info_d = json.loads(bytes(data["res_info"]).decode())
         int_fields = {"iter", "iter_ext", "mu_updates", "rho_updates",
-                      "status"}
+                      "status", "minres_iters"}
         time_fields = {"setup_time", "solve_time", "run_time",
                        "compile_time"}
         info = Info(**{

@@ -128,6 +128,7 @@ class InnerState(NamedTuple):
     best_err: jax.Array
     stalls: jax.Array
     lin_err: jax.Array
+    minres_iters: jax.Array  # cumulative matrix-free iterations
     k: jax.Array         # body runs completed
     iters_add: jax.Array # iteration count to add on break (reference +iter+1)
     status: jax.Array
@@ -193,7 +194,7 @@ def inner_newton(
         else:
             sys = kkt.build_newton_system(spec, factors, active, mu_eq, mu_in)
             solve_fn = None
-        dx, dy, dzJ, lin_err = kkt.solve_with_refinement(
+        dx, dy, dzJ, lin_err, step_its = kkt.solve_with_refinement(
             spec, settings, factors, op, sys, rho, rhs_x, rhs_y, rhs_z,
             eps_int, solve_fn=solve_fn)
         # inactive multipliers step to zero (solver.hpp:860-868)
@@ -377,7 +378,7 @@ def inner_newton(
             active_up=up, active_low=low,
             dx=dx, dy=dy, dz=dz,
             err_in=sel(err_in, s.err_in), best_err=best_err, stalls=stalls,
-            lin_err=lin_err,
+            lin_err=lin_err, minres_iters=s.minres_iters + step_its,
             k=s.k + 1, iters_add=iters_add, status=status_n, done=done_n)
 
     init = InnerState(
@@ -390,6 +391,7 @@ def inner_newton(
         err_in=jnp.asarray(1e6, dtype), best_err=jnp.asarray(jnp.inf, dtype),
         stalls=jnp.asarray(0, jnp.int32),
         lin_err=jnp.asarray(0.0, dtype),
+        minres_iters=jnp.asarray(0, jnp.int32),
         k=jnp.asarray(0, jnp.int32),
         iters_add=jnp.asarray(settings.max_iter_in + 1, jnp.int32),
         status=status, done=skip)
@@ -421,6 +423,7 @@ class OuterState(NamedTuple):
     k: jax.Array          # outer iterations started
     iter: jax.Array       # total inner iterations (reference info.iter)
     iter_ext: jax.Array
+    minres_iters: jax.Array
     mu_updates: jax.Array
     pri_res: jax.Array
     dua_res: jax.Array
@@ -482,7 +485,7 @@ def qp_solve_core(
         else:
             sys0 = kkt.build_newton_system(spec, factors, no_active, mu_eq0, mu_in0)
             solve_fn0 = None
-        gx, gy, _, _ = kkt.solve_with_refinement(
+        gx, gy, _, _, init_minres_its = kkt.solve_with_refinement(
             spec, settings, factors, op, sys0, rho,
             -qp.g, qp.b, jnp.zeros((n_c,), dtype),
             jnp.asarray(1.0, dtype), solve_fn=solve_fn0)
@@ -588,6 +591,8 @@ def qp_solve_core(
             skip=solved_now)
 
         it_total = s.iter + jnp.where(solved_now, 0, inner.iters_add)
+        minres_total = s.minres_iters + jnp.where(
+            solved_now, 0, inner.minres_iters)
         status = inner.status
 
         # ---- infeasibility exit: certificate becomes the solution
@@ -698,6 +703,7 @@ def qp_solve_core(
             scaled_eps=scaled_eps,
             status=status, done=cert_exit,
             k=s.k + 1, iter=it_total, iter_ext=s.iter_ext + 1,
+            minres_iters=minres_total,
             mu_updates=s.mu_updates + mu_changed.astype(jnp.int32),
             pri_res=pr2.pri_lhs,
             dua_res=jnp.where(pri2_ok, dr2.dua_lhs, dr3.dua_lhs),
@@ -724,6 +730,8 @@ def qp_solve_core(
         k=jnp.asarray(0, jnp.int32),
         iter=jnp.asarray(0, jnp.int32),
         iter_ext=jnp.asarray(0, jnp.int32),
+        minres_iters=(init_minres_its if eq_init_guess
+                      else jnp.asarray(0, jnp.int32)),
         mu_updates=jnp.asarray(0, jnp.int32),
         pri_res=jnp.asarray(0.0, dtype),
         dua_res=jnp.asarray(0.0, dtype),
@@ -761,6 +769,7 @@ def qp_solve_core(
         status=fin.status, objValue=obj,
         pri_res=fin.pri_res, dua_res=fin.dua_res,
         duality_gap=fin.duality_gap, iterative_residual=fin.lin_err,
-        minimal_H_eigenvalue_estimate=jnp.asarray(0.0, dtype))
+        minimal_H_eigenvalue_estimate=jnp.asarray(0.0, dtype),
+        minres_iters=fin.minres_iters)
     return Results(x=x_un, y=y_un, z=z_un, se=fin.se_out, si=fin.si_out,
                    info=info, x_lo=x_un_lo, y_lo=y_un_lo, z_lo=z_un_lo)

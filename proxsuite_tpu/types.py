@@ -228,6 +228,12 @@ class Info(NamedTuple):
     duality_gap: jax.Array
     iterative_residual: jax.Array
     minimal_H_eigenvalue_estimate: jax.Array
+    # total MINRES iterations spent by the matrix-free backend across the
+    # whole solve (0 for factorization backends). The reference records
+    # which sparse backend ran and its refinement stats (results.hpp:44-52);
+    # this is the TPU analogue: it tells you when an ill-conditioned
+    # problem is crawling inside the iterative solver.
+    minres_iters: jax.Array = 0
     # timings in microseconds (reference proxqp/timings.hpp:13-101 +
     # info.setup_time/solve_time/run_time, dense/wrapper.hpp:495-497),
     # filled HOST-side by the wrapper when settings.compute_timings:

@@ -30,10 +30,13 @@ import jax
 import jax.numpy as jnp
 
 REPO = os.path.dirname(os.path.abspath(__file__))
+import sys
+
+sys.path.insert(0, REPO)
+from proxsuite_tpu.utils.compile_cache import enable_compile_cache
+
 # persistent compile cache (TPU executables; no cross-host AOT hazard)
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(REPO, ".jax_compile_cache_tpu"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+enable_compile_cache(os.path.join(REPO, ".jax_compile_cache_tpu"))
 BASELINE_CACHE = os.path.join(REPO, "BASELINE_CPU.json")
 QPS_BIN = "/tmp/bench_qps.bin"
 

@@ -144,8 +144,8 @@ def solve_in_parallel(
             n_dev = mesh.shape[axis_name]
             if bsz % n_dev != 0:
                 raise ValueError(
-                    f"batch size {bsz} must divide the mesh axis "
-                    f"{axis_name}={n_dev}")
+                    f"mesh axis {axis_name}={n_dev} must divide the "
+                    f"batch size {bsz}")
             sharding = NamedSharding(mesh, P(axis_name))
             parts = [jax.device_put(p, sharding) for p in parts]
         if chunk_size is None or bsz <= chunk_size:
@@ -164,7 +164,8 @@ def solve_in_parallel(
         n_dev = mesh.shape[axis_name]
         if bsz % n_dev != 0:
             raise ValueError(
-                f"batch size {bsz} must divide the mesh axis {axis_name}={n_dev}")
+                f"mesh axis {axis_name}={n_dev} must divide the "
+                f"batch size {bsz}")
         sharding = NamedSharding(mesh, P(axis_name))
         arrays = tuple(jax.device_put(a, sharding) for a in arrays)
 
@@ -297,6 +298,14 @@ def solve_in_parallel_ragged(
             kw = dict(p)
             if any_box and p.get("u_box") is None and p.get("l_box") is None:
                 kw["u_box"] = np.full(np.shape(p["g"])[0], np.inf)
+            # one-sided inequalities: missing u/l mean +/-inf, exactly as
+            # in single-QP solve()
+            if kw.get("C") is not None:
+                n_in_i = np.shape(kw["C"])[0]
+                if kw.get("u") is None:
+                    kw["u"] = np.full(n_in_i, np.inf)
+                if kw.get("l") is None:
+                    kw["l"] = np.full(n_in_i, -np.inf)
             padded.append(pad_dense_qp(
                 kw.get("H"), kw["g"], kw.get("A"), kw.get("b"),
                 kw.get("C"), kw.get("u"), kw.get("l"),
@@ -345,6 +354,12 @@ def solve_in_parallel_ragged(
                         z0[j, ni_p: ni_p + ni] = wz[nii:]
 
         if mesh is not None:
+            n_dev = mesh.shape[axis_name]
+            if len(idxs) % n_dev != 0:
+                raise ValueError(
+                    f"mesh axis {axis_name}={n_dev} must divide every "
+                    f"shape-bucket group; bucket {(n_p, ne_p, ni_p)} has "
+                    f"{len(idxs)} QPs. Pad the batch or regroup.")
             sharding = NamedSharding(mesh, P(axis_name))
             arrays = tuple(jax.device_put(a, sharding) for a in arrays)
         res = _solve_batch_state_jit(

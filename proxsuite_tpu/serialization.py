@@ -43,7 +43,12 @@ def settings_to_dict(settings: Settings) -> dict:
 
 
 def settings_from_dict(d: dict) -> Settings:
-    d = dict(d)
+    # Forward compatibility: drop keys that are not Settings fields, so
+    # archives written by older versions (e.g. ones that still carried the
+    # retired reference knob `eps_refact`, see types.py Settings notes)
+    # load cleanly instead of raising TypeError in Settings(**d).
+    known = {f.name for f in dataclasses.fields(Settings)}
+    d = {k: v for k, v in d.items() if k in known}
     for k, enum_t in _ENUM_FIELDS.items():
         if k in d:
             d[k] = enum_t(d[k])
@@ -77,7 +82,7 @@ def results_from_dict(d: dict, dtype=np.float64) -> Results:
     int_fields = {"iter", "iter_ext", "mu_updates", "rho_updates", "status", "minres_iters"}
     info = Info(**{
         k: np.asarray(v, np.int32 if k in int_fields else dtype)
-        for k, v in info_d.items()})
+        for k, v in info_d.items() if k in Info._fields})
     return Results(
         x=np.asarray(d["x"], dtype), y=np.asarray(d["y"], dtype),
         z=np.asarray(d["z"], dtype), se=np.asarray(d["se"], dtype),
@@ -207,7 +212,7 @@ def load_qp(path_or_buf):
             k: (float(v) if k in time_fields else
                 np.asarray(v, np.int32 if k in int_fields else
                            qp.dtype))
-            for k, v in info_d.items()})
+            for k, v in info_d.items() if k in Info._fields})
         get = lambda k: (jnp.asarray(data[f"res_{k}"])
                          if f"res_{k}" in data else None)
         qp.results = Results(

@@ -31,26 +31,16 @@ def main():
 
     import jax
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    from proxsuite_tpu.utils.compile_cache import enable_compile_cache
     if not args.tpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
-        # XLA:CPU AOT executables are machine-specific: a cache entry from
-        # a different host silently produces WRONG NUMERICS (see
-        # tests/conftest.py). Key the cache by the host CPU feature set.
-        import hashlib
-        try:
-            with open("/proc/cpuinfo") as f:
-                key = [hashlib.sha256(ln.encode()).hexdigest()[:12]
-                       for ln in f if ln.startswith("flags")][0]
-        except (OSError, IndexError):
-            import platform
-            key = platform.machine()
-        cache = os.path.join(repo, ".jax_compile_cache", key)
+        # CPU AOT caches are machine-keyed (see utils/compile_cache.py)
+        enable_compile_cache(os.path.join(repo, ".jax_compile_cache"),
+                             per_machine=True)
     else:
-        cache = os.path.join(repo, ".jax_compile_cache_tpu")
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        enable_compile_cache(os.path.join(repo, ".jax_compile_cache_tpu"))
 
     import numpy as np
     import proxsuite_tpu as pt

@@ -23,27 +23,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: the solver compiles one executable per
-# (shape, settings) pair (~20s each); cache makes re-runs instant.
-# The directory is keyed by the host CPU feature set: XLA:CPU AOT
-# executables compiled on a different machine type load with mismatched
-# feature warnings and produce WRONG NUMERICS (observed: a cached
-# avx512-host executable made a solved LP report MAX_ITER on this host).
-import hashlib
+# (shape, settings) pair (~20s each); cache makes re-runs instant. See
+# proxsuite_tpu/utils/compile_cache.py for the machine-keying and the
+# zstandard-segfault guard.
+from proxsuite_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
 
-
-def _machine_key():
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha256(line.encode()).hexdigest()[:12]
-    except OSError:
-        pass
-    import platform
-    return platform.machine()
-
-
-_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "..", ".jax_compile_cache", _machine_key())
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+enable_compile_cache(
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                 ".jax_compile_cache"),
+    per_machine=True)

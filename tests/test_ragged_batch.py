@@ -85,9 +85,15 @@ def test_compat_parallel_per_qp_state():
                                  np.asarray(qp.results.y),
                                  np.asarray(qp.results.z))
         assert max(pri, dua) < 2 * qp.settings.eps_abs
-    # per-QP rho override actually reached the solver
+    # per-QP rho/mu overrides actually reached the solver: rho is
+    # invariant across the solve; mu_eq only changes when the BCL loop
+    # performs a mu update, so with zero updates the reported value must
+    # be exactly the per-QP override (1e-4), not the 1e-3 default.
     assert float(qp0.results.info.rho) == pytest.approx(1e-5)
-    assert float(qp1.results.info.mu_eq) != pytest.approx(1e-3) or True
+    if int(qp1.results.info.mu_updates) == 0:
+        assert float(qp1.results.info.mu_eq) == pytest.approx(1e-4)
+    else:
+        assert float(qp1.results.info.mu_eq) < 1e-3
 
     # warm re-solve: previous results give 0 iterations, per lane
     from proxsuite_tpu.types import InitialGuess

@@ -123,9 +123,17 @@ def df_div(x: Pair, c: jax.Array) -> Pair:
 
 
 def _pow2_grid(max_abs: jax.Array, dtype) -> jax.Array:
-    """sigma = 2^ceil(log2(max_abs)), with 0 -> 1 to avoid log(0)."""
+    """sigma = 2^ceil(log2(max_abs)), with 0 -> 1 to avoid log(0).
+
+    Built with ldexp on an integer exponent: jnp.exp2 evaluates as
+    exp(x*ln2) and returns e.g. 8192.0039 for 2^13 in f32 — an off-grid
+    sigma silently breaks the exactness of every piece split.
+    """
     safe = jnp.where(max_abs > 0, max_abs, 1.0)
-    return jnp.exp2(jnp.ceil(jnp.log2(safe))).astype(dtype)
+    # clamp the exponent so piece grids (sigma * 2^-k*w) never underflow
+    # to zero -- a denormal sigma makes round(M / grid) divide by zero
+    e = jnp.clip(jnp.ceil(jnp.log2(safe)), -70, None).astype(jnp.int32)
+    return jnp.ldexp(jnp.ones_like(safe), e).astype(dtype)
 
 
 def _split_pieces(M: jax.Array, sigma: jax.Array, n_pieces: int):
@@ -153,8 +161,12 @@ def exact_matvec(A: jax.Array, x: jax.Array) -> Pair:
     factorizations they guard.
     """
     if not isinstance(A, jax.Array):
-        # sparse operand: its matvec is a gather + segment-sum (already
-        # f32-exact products, f32 tree reduction); treat as plain term
+        from . import sparse_ops
+
+        if isinstance(A, sparse_ops.BCOO):
+            # compensated segment-sum matvec, exact to df precision
+            return sparse_ops.exact_matvec_bcoo(A, x)
+        # other structured operand: treat its matvec as a plain term
         r = A @ x
         return r, jnp.zeros_like(r)
     dtype = A.dtype

@@ -239,7 +239,9 @@ def kkt_residual(
     combine in double-float before collapsing (see ops/df.py) -- the f32
     equivalent of the reference's extra-precise refinement residual.
     """
-    if high_accuracy and isinstance(op.H, jax.Array):
+    if high_accuracy:
+        # exact_matvec covers dense AND BCOO operands (sparse operands go
+        # through the compensated segment-sum kernel, sparse_ops.py)
         from .df import (df_add, df_add_f32, df_neg, df_to_f32, exact_matvec,
                          two_prod)
         if spec.hessian_type == HessianType.Zero:
@@ -343,52 +345,42 @@ def minres_solve_fn(
     rho: jax.Array,
     tol: float = 1e-14,
 ):
-    """Jacobi-preconditioned MINRES closure over the masked KKT operator
-    (matrix-free backend).
+    """MINRES closure over the masked KKT operator (matrix-free backend).
 
     Counterpart of the reference MatrixFree path: Eigen MINRES over
     AugmentedKkt (sparse/solver.hpp:39-84, sparse/workspace.hpp:94-103).
-    Symmetric diagonal preconditioning: with D = |diag(K)| the solved
-    system is D^-1/2 K D^-1/2, which keeps symmetry and collapses the
-    spread Ruiz leaves between the H+rho, mu_eq and mu_in diagonal blocks
-    -- the dominant conditioning hazard on ill-scaled sparse problems.
+
+    Deliberately UNPRECONDITIONED. Round 3 shipped a symmetric Jacobi
+    scaling D^-1/2 K D^-1/2 with D = |diag(K)|; a controlled experiment
+    (fixed iteration budget, f64 residual oracle, mu in {1e-1..1e-8},
+    Ruiz-equilibrated and deliberately mis-scaled H — see
+    tests/test_sparse.py::test_minres_small_mu_accuracy) showed that on
+    the already-Ruiz-equilibrated KKT every diagonal scaling tested
+    (|diag K|, augmented/Schur-Jacobi, row-inf-norm) made the f32 solve
+    error WORSE — catastrophically so at small mu (Jacobi 1.9e0 vs raw
+    7.9e-6 at mu=1e-8): dividing the dual rows by sqrt(mu) inflates the
+    off-diagonal blocks by 1/sqrt(mu) and destroys the saddle spectrum
+    MINRES exploits. Ruiz equilibration of [H A C] at setup IS the
+    preconditioner; K's remaining diagonal spread (rho, -mu) is exactly
+    the quasi-definite structure MINRES handles well.
     The closure returns (dx, dy, dz, iterations) so the solver surfaces
     MINRES effort in Info (reference records sparse backend stats,
     results.hpp:44-52).
     """
     from .minres import minres
-    from . import sparse_ops
 
     n, n_eq, n_c = spec.n, spec.n_eq, spec.n_c
     max_iter = 2 * (n + n_eq + n_c)
-    dtype = sys.mask.dtype
-
-    # |diag(K)| = [|diag(H)| + rho; mu_eq; mu_in] (every inequality row
-    # carries the -mu_in diagonal, active or not -- see kkt_matvec)
-    if spec.hessian_type == HessianType.Zero:
-        hd = jnp.zeros((n,), dtype)
-    elif isinstance(op.H, jax.Array):
-        hd = jnp.abs(jnp.diagonal(op.H))
-    else:
-        hd = jnp.abs(sparse_ops.diag_of(op.H))
-    d = jnp.concatenate([
-        hd + rho,
-        jnp.broadcast_to(sys.mu_eq, (n_eq,)),
-        jnp.broadcast_to(sys.mu_in, (n_c,)),
-    ])
-    s = lax.rsqrt(jnp.maximum(d, jnp.asarray(1e-12, dtype)))
 
     def matvec(w):
-        w = s * w
         dx, dy, dz = w[:n], w[n:n + n_eq], w[n + n_eq:]
         o1, o2, o3 = kkt_matvec(
             spec, op, rho, sys.mask, sys.mu_eq, sys.mu_in, dx, dy, dz)
-        return s * jnp.concatenate([o1, o2, o3])
+        return jnp.concatenate([o1, o2, o3])
 
     def solve_fn(r1, r2, r3):
-        b = s * jnp.concatenate([r1, r2, r3])
+        b = jnp.concatenate([r1, r2, r3])
         w, _, it = minres(matvec, b, tol=tol, max_iter=max_iter)
-        w = s * w
         return w[:n], w[n:n + n_eq], w[n + n_eq:], it
 
     return solve_fn

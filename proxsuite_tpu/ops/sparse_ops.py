@@ -79,6 +79,103 @@ def diag_of(M: BCOO) -> jax.Array:
         jnp.where(on_diag, M.data, 0.0), M.indices[:, 0], num_segments=n)
 
 
+def exact_matvec_bcoo(M: BCOO, x: jax.Array):
+    """M @ x to double-float precision for BCOO M.
+
+    Sparse counterpart of ops/df.py exact_matvec (high-accuracy mode,
+    reference anchor sparse/solver.hpp:342 — the reference's f64 accuracy
+    is backend-independent). Per-element products are made exact with
+    two_prod; the per-row reductions are made exact by splitting the
+    products onto per-row power-of-two grids (Ozaki-style): each 12-bit
+    piece is an integer multiple of its row grid, so its segment_sum is
+    EXACT for rows with up to 2^12 nonzeros, and four pieces push the
+    unsummed remainder below ~2^-48 of the row magnitude — the same
+    floor as the dense exact_matvec. Cost: 6 segment_sums + 1
+    segment_max instead of 1 segment_sum.
+    """
+    from .df import df_sum_terms, two_prod
+
+    m = M.shape[0]
+    dtype = M.dtype
+    if M.nse == 0 or m == 0:
+        z = jnp.zeros((m,), dtype)
+        return z, z
+    rows = M.indices[:, 0]
+    p, e = two_prod(M.data, x[M.indices[:, 1]])
+    # per-row power-of-two grid from the product magnitudes
+    pmax = jax.ops.segment_max(jnp.abs(p), rows, num_segments=m).clip(0.0)
+    # exact power-of-two grid via ldexp (jnp.exp2 is off-grid in f32,
+    # see ops/df.py _pow2_grid)
+    safe = jnp.where(pmax > 0, pmax, 1.0)
+    # exponent clamped so grid_k = sigma * 2^-48 never underflows to 0
+    # (a denormal sigma makes round(R / grid) divide by zero -> NaN)
+    sigma = jnp.ldexp(jnp.ones_like(safe),
+                      jnp.clip(jnp.ceil(jnp.log2(safe)),
+                               -70, None).astype(jnp.int32))
+    sig_e = sigma.astype(dtype)[rows]
+    piece_bits = 12
+    terms = []
+    R = p
+    for k in range(1, 5):
+        grid = sig_e * (2.0 ** (-k * piece_bits))
+        q = jnp.round(R / grid) * grid
+        terms.append(jax.ops.segment_sum(q, rows, num_segments=m))
+        R = R - q
+    terms.append(jax.ops.segment_sum(R, rows, num_segments=m))
+    terms.append(jax.ops.segment_sum(e, rows, num_segments=m))
+    return df_sum_terms(terms)
+
+
+def scale_rows_cols_df(M: BCOO, M_lo: BCOO, d_row, d_col, s=None):
+    """Error-free diag(d_row) @ (M + M_lo) @ diag(d_col) [* s].
+
+    Double-float counterpart of scale_rows_cols for high-accuracy
+    ingestion: the scaled entries are computed with two_prod/df_mul so
+    the (hi, lo) output represents the f64 product to ~2^-45, mirroring
+    api.build_scaled_qp_ha's dense treatment. M and M_lo share indices.
+    Returns (BCOO hi, BCOO lo).
+    """
+    from .df import df_mul, two_prod
+
+    r, c = M.indices[:, 0], M.indices[:, 1]
+    scale = two_prod(d_row[r], d_col[c])
+    if s is not None:
+        scale = df_mul(scale, (jnp.broadcast_to(s, scale[0].shape),
+                               jnp.zeros_like(scale[0])))
+    hi, lo = df_mul(scale, (M.data, M_lo.data))
+    return (BCOO((hi, M.indices), shape=M.shape),
+            BCOO((lo, M.indices), shape=M.shape))
+
+
+def from_any_df(M, dtype=jnp.float32):
+    """Ingest f64 sparse/dense input as a (hi, lo) BCOO pair (host-side).
+
+    The data vector is split into exact f32 words (api.split_df_host);
+    indices are shared between the two BCOOs.
+    """
+    if hasattr(M, "tocoo"):  # scipy.sparse
+        coo = M.tocoo()
+        data64 = np.asarray(coo.data, np.float64)
+        idx = jnp.stack([jnp.asarray(coo.row, jnp.int32),
+                         jnp.asarray(coo.col, jnp.int32)], axis=1)
+        shape = M.shape
+    elif isinstance(M, BCOO):
+        data64 = np.asarray(M.data, np.float64)
+        idx = M.indices
+        shape = M.shape
+    else:
+        dense = np.asarray(M, np.float64)
+        rr, cc = np.nonzero(dense)
+        data64 = dense[rr, cc]
+        idx = jnp.stack([jnp.asarray(rr, jnp.int32),
+                         jnp.asarray(cc, jnp.int32)], axis=1)
+        shape = dense.shape
+    hi = data64.astype(np.float32)
+    lo = (data64 - hi.astype(np.float64)).astype(np.float32)
+    return (BCOO((jnp.asarray(hi, dtype), idx), shape=shape),
+            BCOO((jnp.asarray(lo, dtype), idx), shape=shape))
+
+
 def density(M) -> float:
     """nnz / size of a scipy/BCOO/dense matrix (host-side, for policy)."""
     size = M.shape[0] * M.shape[1]

@@ -464,6 +464,17 @@ def qp_solve_core(
     op = KKTOperand(H=qp.H, A=qp.A, C=qp.C)
     backend = resolve_backend(spec, settings, dtype)
     matrixfree = backend in ("matrixfree", "primaldual")
+    # Penalty floors (reference settings mu_min_eq=1e-9 / mu_min_in=1e-8).
+    # The f32 MINRES backend solves a cond ~ 1/mu KKT system; below
+    # mu ~ 1e-6 the refinement contraction rate cond*eps_f32 exceeds 1
+    # and the KKT solves diverge (observed NaN at mu_eq=1e-9). The
+    # proximal outer loop absorbs the larger floor with a few extra
+    # iterations, so high-accuracy targets stay reachable.
+    mu_min_eq = settings.mu_min_eq
+    mu_min_in = settings.mu_min_in
+    if jnp.finfo(dtype).bits < 64 and backend == "matrixfree":
+        mu_min_eq = max(mu_min_eq, 1e-6)
+        mu_min_in = max(mu_min_in, 1e-6)
     if matrixfree:
         z0f = jnp.zeros((0,), dtype)
         factors = kkt.KKTFactors(
@@ -643,9 +654,9 @@ def qp_solve_core(
         # ---- BCL / Martinez penalty update (solver.hpp:564-677) ----
         mu_eq, mu_in = s.mu_eq, s.mu_in
         shrunk_mu_eq = jnp.maximum(
-            mu_eq * settings.mu_update_factor, settings.mu_min_eq)
+            mu_eq * settings.mu_update_factor, mu_min_eq)
         shrunk_mu_in = jnp.maximum(
-            mu_in * settings.mu_update_factor, settings.mu_min_in)
+            mu_in * settings.mu_update_factor, mu_min_in)
         if settings.bcl_update:
             # safe_guard compares the cumulative inner-iteration count
             # (reference solver.hpp:583-584)

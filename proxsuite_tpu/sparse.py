@@ -105,6 +105,52 @@ def build_scaled_qp_sparse(
         c=jnp.asarray(1.0, dtype))
 
 
+def build_scaled_qp_sparse_ha(
+    spec: ProblemSpec,
+    settings: Settings,
+    H, H_lo, g, g_lo, A, A_lo, b, b_lo, C, C_lo, u, u_lo, l, l_lo,
+) -> ScaledQP:
+    """High-accuracy sparse setup (BCOO analogue of api.build_scaled_qp_ha).
+
+    f64 data arrives as (hi, lo) word pairs — BCOO pairs sharing indices
+    for H/A/C (sparse_ops.from_any_df), f32 vector pairs for g/b/u/l.
+    Ruiz runs on the hi words to pick the scalings; the scaled operands
+    are then recomputed from the full double-float data with error-free
+    products (sparse_ops.scale_rows_cols_df / ops/df.py), so the solved
+    problem matches the f64 input to ~2^-45. Reference anchor:
+    sparse/solver.hpp:342 — the reference's f64 accuracy is
+    backend-independent.
+    """
+    from .ops.df import df_mul, two_prod
+
+    u_cl = jnp.minimum(u, INFINITE_BOUND)
+    l_cl = jnp.maximum(l, -INFINITE_BOUND)
+    rz = ruiz_equilibrate_sparse(
+        H, g, A, b, C, u_cl, l_cl,
+        hessian_type=spec.hessian_type,
+        max_iter=settings.preconditioner_max_iter,
+        epsilon=settings.preconditioner_accuracy,
+        infeasibility_preconditioning=settings.primal_infeasibility_solving)
+    dx, dy, dz, c = rz.delta_x, rz.delta_y, rz.delta_z, rz.c
+
+    H_s, H_s_lo = sp.scale_rows_cols_df(H, H_lo, dx, dx, s=c)
+    A_s, A_s_lo = sp.scale_rows_cols_df(A, A_lo, dy, dx)
+    C_s, C_s_lo = sp.scale_rows_cols_df(C, C_lo, dz, dx)
+    cb = jnp.broadcast_to(c, dx.shape)
+    g_s = df_mul((g, g_lo), two_prod(dx, cb))
+    b_s = df_mul((b, b_lo), (dy, jnp.zeros_like(dy)))
+    u_s = df_mul((u_cl, jnp.where(u <= INFINITE_BOUND, u_lo, 0.0)),
+                 (dz, jnp.zeros_like(dz)))
+    l_s = df_mul((l_cl, jnp.where(l >= -INFINITE_BOUND, l_lo, 0.0)),
+                 (dz, jnp.zeros_like(dz)))
+    return ScaledQP(
+        H=H_s, g=g_s[0], A=A_s, b=b_s[0], C=C_s, u=u_s[0], l=l_s[0],
+        u_orig=u, l_orig=l,
+        delta_x=dx, delta_y=dy, delta_z=dz, c=c,
+        H_lo=H_s_lo, g_lo=g_s[1], A_lo=A_s_lo, b_lo=b_s[1],
+        C_lo=C_s_lo, u_lo=u_s[1], l_lo=l_s[1])
+
+
 class QP(_wrapper.QP):
     """Sparse-input QP (reference sparse::QP<T,I>, sparse/wrapper.hpp:90).
 
@@ -138,23 +184,55 @@ class QP(_wrapper.QP):
         # true sparse path: build a BCOO ScaledQP, bypass the dense setup
         n, n_eq, n_in = self.spec.n, self.spec.n_eq, self.spec.n_in
         dtype = self.dtype
-        g = jnp.asarray(g, dtype)
+        ha = self.settings.high_accuracy
+        if ha:
+            dtype = jnp.float32   # HA = f32 words + double-float pipeline
+            self.dtype = dtype
+        else:
+            g = jnp.asarray(g, dtype)
         zero = lambda r, c: sp.BCOO(
             (jnp.zeros((0,), dtype), jnp.zeros((0, 2), jnp.int32)),
             shape=(r, c))
-        Hb = zero(n, n) if H is None else sp.from_any(H, dtype=dtype)
-        Ab = zero(n_eq, n) if A is None else sp.from_any(A, dtype=dtype)
-        Cb = zero(n_in, n) if C is None else sp.from_any(C, dtype=dtype)
-        b = jnp.zeros((n_eq,), dtype) if b is None else jnp.asarray(b, dtype)
-        u = (jnp.full((n_in,), jnp.inf, dtype) if u is None
-             else jnp.asarray(u, dtype))
-        l = (jnp.full((n_in,), -jnp.inf, dtype) if l is None
-             else jnp.asarray(l, dtype))
-        self._model = dict(H=Hb, g=g, A=Ab, b=b, C=Cb, u=u, l=l,
-                           u_box=None, l_box=None)
-        self._scaled = build_scaled_qp_sparse(
-            self.spec, self.settings, Hb, g, Ab, b, Cb, u, l,
-            execute_preconditioner=kw.get("compute_preconditioner", True))
+        zero2 = lambda r, c: (zero(r, c), zero(r, c))
+        if ha:
+            from .api import split_df_host
+            Hp = zero2(n, n) if H is None else sp.from_any_df(H, dtype)
+            Ap = zero2(n_eq, n) if A is None else sp.from_any_df(A, dtype)
+            Cp = zero2(n_in, n) if C is None else sp.from_any_df(C, dtype)
+            vec = lambda v, size, fill: (
+                np.full(size, fill) if v is None else np.asarray(
+                    v, np.float64))
+            b64 = vec(b, n_eq, 0.0)
+            u64 = vec(u, n_in, np.inf)
+            l64 = vec(l, n_in, -np.inf)
+            pairs = [split_df_host(np.asarray(g, np.float64)),
+                     split_df_host(b64), split_df_host(u64),
+                     split_df_host(l64)]
+            (g, g_lo), (b, b_lo), (u, u_lo), (l, l_lo) = [
+                (jnp.asarray(hi, dtype), jnp.asarray(lo, dtype))
+                for hi, lo in pairs]
+            self._model = dict(H=Hp[0], g=g, A=Ap[0], b=b, C=Cp[0],
+                               u=u, l=l, u_box=None, l_box=None)
+            self._scaled = build_scaled_qp_sparse_ha(
+                self.spec, self.settings,
+                Hp[0], Hp[1], g, g_lo, Ap[0], Ap[1], b, b_lo,
+                Cp[0], Cp[1], u, u_lo, l, l_lo)
+        else:
+            Hb = zero(n, n) if H is None else sp.from_any(H, dtype=dtype)
+            Ab = zero(n_eq, n) if A is None else sp.from_any(A, dtype=dtype)
+            Cb = zero(n_in, n) if C is None else sp.from_any(C, dtype=dtype)
+            b = (jnp.zeros((n_eq,), dtype) if b is None
+                 else jnp.asarray(b, dtype))
+            u = (jnp.full((n_in,), jnp.inf, dtype) if u is None
+                 else jnp.asarray(u, dtype))
+            l = (jnp.full((n_in,), -jnp.inf, dtype) if l is None
+                 else jnp.asarray(l, dtype))
+            self._model = dict(H=Hb, g=g, A=Ab, b=b, C=Cb, u=u, l=l,
+                               u_box=None, l_box=None)
+            self._scaled = build_scaled_qp_sparse(
+                self.spec, self.settings, Hb, g, Ab, b, Cb, u, l,
+                execute_preconditioner=kw.get("compute_preconditioner",
+                                              True))
         self._rho = jnp.asarray(
             kw.get("rho") or self.settings.default_rho, dtype)
         self._mu_eq = jnp.asarray(
@@ -170,17 +248,121 @@ class QP(_wrapper.QP):
             return super().update(
                 H=_densify(H), g=g, A=_densify(A), b=b, C=_densify(C),
                 l=l, u=u, **kw)
-        # reference sparse update requires the same sparsity pattern
-        # (sparse/wrapper.hpp:357, helpers.hpp have_same_structure); here
-        # any new operand is re-ingested wholesale
+        # Same-pattern fast path (reference sparse::QP::update,
+        # sparse/wrapper.hpp:357 + helpers.hpp:414-460 have_same_structure/
+        # copy): when every supplied matrix matches the stored sparsity
+        # pattern and update_preconditioner is off, the existing Ruiz
+        # scaling is re-APPLIED to the new data — no equilibration loop,
+        # no re-ingest. MPC-style warm-started re-solves pay O(nnz)
+        # elementwise work only. Any pattern mismatch falls back to a
+        # full re-init (the reference raises instead; re-ingest is the
+        # gentler contract).
         m = self._model
-        self.init(H=H if H is not None else m["H"],
-                  g=g if g is not None else m["g"],
-                  A=A if A is not None else m["A"],
-                  b=b if b is not None else m["b"],
-                  C=C if C is not None else m["C"],
-                  l=l if l is not None else m["l"],
-                  u=u if u is not None else m["u"], **kw)
+        ha = self.settings.high_accuracy
+
+        def match(new, old):
+            """BCOO of `new` if its pattern equals old's, else None."""
+            if ha:
+                pair = sp.from_any_df(new, self.dtype)
+                nb = pair[0]
+            else:
+                pair = sp.from_any(new, dtype=self.dtype)
+                nb = pair
+            if nb.nse == old.nse and bool(
+                    jnp.all(nb.indices == old.indices)):
+                return pair
+            return None
+
+        fast = not self.settings.update_preconditioner
+        news = {}
+        for name, val in (("H", H), ("A", A), ("C", C)):
+            if val is None or not fast:
+                continue
+            got = match(val, m[name])
+            if got is None:
+                fast = False
+            else:
+                news[name] = got
+        if not fast:
+            self.init(H=H if H is not None else m["H"],
+                      g=g if g is not None else m["g"],
+                      A=A if A is not None else m["A"],
+                      b=b if b is not None else m["b"],
+                      C=C if C is not None else m["C"],
+                      l=l if l is not None else m["l"],
+                      u=u if u is not None else m["u"], **kw)
+            return self
+
+        s = self._scaled
+        dx, dy, dz, c = s.delta_x, s.delta_y, s.delta_z, s.c
+        dt = self.dtype
+        if ha:
+            from .api import split_df_host
+            from .ops.df import df_mul, two_prod
+            upd = dict(s._asdict())
+            for name, (dr, dc, sc) in (("H", (dx, dx, c)),
+                                       ("A", (dy, dx, None)),
+                                       ("C", (dz, dx, None))):
+                if name in news:
+                    hi, lo = sp.scale_rows_cols_df(*news[name], dr, dc, s=sc)
+                    upd[name] = hi
+                    upd[name + "_lo"] = lo
+                    m[name] = news[name][0]
+            if g is not None:
+                ghi, glo = split_df_host(np.asarray(g, np.float64))
+                cb = jnp.broadcast_to(c, dx.shape)
+                gs = df_mul((jnp.asarray(ghi, dt), jnp.asarray(glo, dt)),
+                            two_prod(dx, cb))
+                upd["g"], upd["g_lo"] = gs
+                m["g"] = jnp.asarray(ghi, dt)
+            for name, val, d in (("b", b, dy), ("u", u, dz), ("l", l, dz)):
+                if val is None:
+                    continue
+                v64 = np.asarray(val, np.float64)
+                if name == "u":
+                    v_cl = np.minimum(v64, float(INFINITE_BOUND))
+                elif name == "l":
+                    v_cl = np.maximum(v64, -float(INFINITE_BOUND))
+                else:
+                    v_cl = v64
+                hi, lo = split_df_host(v_cl)
+                vs = df_mul((jnp.asarray(hi, dt), jnp.asarray(lo, dt)),
+                            (d, jnp.zeros_like(d)))
+                upd[name], upd[name + "_lo"] = vs
+                if name in ("u", "l"):
+                    upd[name + "_orig"] = jnp.asarray(v64, dt)
+                m[name] = jnp.asarray(hi, dt)
+            self._scaled = ScaledQP(**upd)
+        else:
+            upd = dict(s._asdict())
+            for name, (dr, dc, sc) in (("H", (dx, dx, c)),
+                                       ("A", (dy, dx, None)),
+                                       ("C", (dz, dx, None))):
+                if name in news:
+                    scaled = sp.scale_rows_cols(news[name], dr, dc)
+                    if sc is not None:
+                        scaled = sp.scale_data(scaled, sc)
+                    upd[name] = scaled
+                    m[name] = news[name]
+            if g is not None:
+                m["g"] = jnp.asarray(g, dt)
+                upd["g"] = m["g"] * dx * c
+            if b is not None:
+                m["b"] = jnp.asarray(b, dt)
+                upd["b"] = m["b"] * dy
+            if u is not None:
+                m["u"] = jnp.asarray(u, dt)
+                upd["u"] = jnp.minimum(m["u"], INFINITE_BOUND) * dz
+                upd["u_orig"] = m["u"]
+            if l is not None:
+                m["l"] = jnp.asarray(l, dt)
+                upd["l"] = jnp.maximum(m["l"], -INFINITE_BOUND) * dz
+                upd["l_orig"] = m["l"]
+            self._scaled = ScaledQP(**upd)
+        for pname in ("rho", "mu_eq", "mu_in"):
+            if kw.get(pname) is not None:
+                setattr(self, "_" + pname,
+                        jnp.asarray(float(kw[pname]), dt))
         return self
 
 

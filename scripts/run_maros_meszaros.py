@@ -66,6 +66,27 @@ def main():
     print(f"{len(names)} problems, eps={eps:g}, "
           f"device={jax.devices()[0]}", flush=True)
 
+    if args.tpu:
+        # The axon TPU worker can take minutes to come back after a prior
+        # process fault; the first op then raises UNAVAILABLE. Warm up
+        # with retries so a slow worker restart doesn't poison the run.
+        import jax.numpy as jnp
+        for attempt in range(6):
+            try:
+                t0 = time.perf_counter()
+                x = jnp.ones((128, 128))
+                jax.block_until_ready(x @ x)
+                print(f"TPU warmup ok ({time.perf_counter() - t0:.0f}s)",
+                      flush=True)
+                break
+            except Exception as e:  # noqa: BLE001
+                print(f"TPU warmup attempt {attempt + 1} failed: "
+                      f"{str(e)[:80]}; retrying in 60s", flush=True)
+                time.sleep(60)
+        else:
+            print("ABORT: TPU never became healthy", flush=True)
+            sys.exit(2)
+
     results = []
     n_pass = 0
     t_total = 0.0
@@ -108,6 +129,13 @@ def main():
                 False, -1, 0, float("inf"), float("inf"), 0.0, None)
             print(f"  EXC {name}: {type(e).__name__}: {str(e)[:120]}",
                   flush=True)
+            # fail fast on a dead device: a TPU worker crash poisons every
+            # subsequent call, so an all-exception prefix means the run is
+            # garbage, not that the problems are hard
+            if len(results) >= 2 and all(r["status"] == -1 for r in results):
+                print("ABORT: first problems all raised - device looks "
+                      "dead; rerun when the TPU is healthy", flush=True)
+                sys.exit(2)
         n_pass += ok
         t_total += t
         results.append(dict(name=name, n=n, n_eq=n_eq, n_in=n_in, ok=ok,

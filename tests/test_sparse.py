@@ -104,6 +104,168 @@ def test_true_sparse_path_stays_sparse():
     assert max(pri, dua) <= 2 * EPS
 
 
+def test_sparse_high_accuracy_1e8():
+    """VERDICT r3 ask #4: high accuracy on the matrix-free sparse backend.
+    f32 words + double-float pipeline must certify eps=1e-8 against the
+    f64 oracle, like the dense HA path (reference sparse/solver.hpp:342 —
+    f64 accuracy is backend-independent there)."""
+    from proxsuite_tpu.ops.sparse_ops import BCOO
+    n, n_eq, n_in = 200, 40, 60
+    H, g, A, b, C, u, l = _sparse_random_qp(n, n_eq, n_in, 0.05, seed=21)
+    eps = 1e-8
+    qp = sparse.QP(n, n_eq, n_in, settings=pt.Settings(
+        eps_abs=eps, eps_rel=0.0, high_accuracy=True, max_iter=500,
+        sparse_backend=pt.SparseBackend.MatrixFree))
+    qp.init(H=H, g=g, A=A, b=b, C=C, l=l, u=u)
+    # problem must stay sparse AND carry double-float low words
+    assert isinstance(qp._scaled.H, BCOO)
+    assert isinstance(qp._scaled.H_lo, BCOO)
+    assert qp.dtype == np.float32 or str(qp.dtype) == "float32"
+    res = qp.solve()
+    assert int(res.info.status) == int(pt.QPSolverOutput.PROXQP_SOLVED)
+    assert int(res.info.minres_iters) > 0
+    x, y, z = res.x_full(), res.y_full(), res.z_full()
+    pri = max(np.abs(A @ x - b).max(),
+              np.maximum(C @ x - u, 0).max() + np.maximum(l - C @ x, 0).max())
+    dua = np.abs(H @ x + g + A.T @ y + C.T @ z).max()
+    assert max(pri, dua) <= 2 * eps, (pri, dua)
+
+
+def test_minres_small_mu_accuracy():
+    """VERDICT r3 ask #5, resolved by experiment: prove the matrix-free
+    KKT solve is accurate in the hard small-mu regime, and pin the
+    design decision that the MINRES closure is UNPRECONDITIONED.
+
+    Round 3 shipped a symmetric Jacobi scaling (D = |diag K|); measuring
+    f64 solve error under a fixed iteration budget showed it makes the
+    f32 solve orders of magnitude WORSE at small mu (dual rows divided
+    by sqrt(mu) inflate the off-diagonal blocks), while raw MINRES on
+    the Ruiz-equilibrated KKT stays near its f32 floor. This test
+    asserts both facts so the pessimization cannot silently return.
+    Reference anchor: sparse/solver.hpp:39-174 (refinement around MINRES
+    is load-bearing there)."""
+    import jax.numpy as jnp
+    from jax import lax
+    from proxsuite_tpu.ops import kkt
+    from proxsuite_tpu.ops.minres import minres
+    from proxsuite_tpu.types import ProblemSpec
+
+    # tiny mu: the late-BCL regime after repeated mu updates
+    n, n_eq, n_in = 60, 20, 30
+    H_, g, A_, b, C_, u, l = _sparse_random_qp(n, n_eq, n_in, 0.2, seed=9)
+    spec = ProblemSpec(n=n, n_eq=n_eq, n_in=n_in)
+    settings = pt.Settings()
+    dtype = jnp.float32
+    op = kkt.KKTOperand(
+        H=jnp.asarray(H_.toarray(), dtype), A=jnp.asarray(A_.toarray(), dtype),
+        C=jnp.asarray(C_.toarray(), dtype))
+    rho = jnp.asarray(1e-6, dtype)
+    mask = jnp.ones((n_in,), dtype)
+    mu_eq = jnp.asarray(1e-8, dtype)
+    mu_in = jnp.asarray(1e-8, dtype)
+    sys_ = kkt.build_masked_system(spec, mask.astype(bool), mu_eq, mu_in,
+                                   dtype)
+    rng = np.random.default_rng(0)
+    r1 = jnp.asarray(rng.standard_normal(n), dtype)
+    r2 = jnp.asarray(rng.standard_normal(n_eq), dtype)
+    r3 = jnp.asarray(rng.standard_normal(n_in), dtype)
+
+    def true_residual(dx, dy, dz):
+        o1, o2, o3 = kkt.kkt_matvec(spec, op, rho, mask, mu_eq, mu_in,
+                                    dx, dy, dz)
+        return max(np.abs(np.asarray(o1) - np.asarray(r1)).max(),
+                   np.abs(np.asarray(o2) - np.asarray(r2)).max(),
+                   np.abs(np.asarray(o3) - np.asarray(r3)).max())
+
+    cap = 2 * (n + n_eq + n_in)
+    # the shipped (unpreconditioned) closure solves near the f32 floor
+    solve_fn = kkt.minres_solve_fn(spec, settings, op, sys_, rho)
+    dx, dy, dz, it_raw = solve_fn(r1, r2, r3)
+    err_raw = true_residual(dx, dy, dz)
+    assert err_raw < 1e-4, float(err_raw)
+    assert 0 < int(it_raw) <= cap
+
+    # the retired Jacobi scaling, reproduced: orders of magnitude worse
+    d = jnp.concatenate([jnp.abs(jnp.diagonal(op.H)) + rho,
+                         jnp.broadcast_to(mu_eq, (n_eq,)),
+                         jnp.broadcast_to(mu_in, (n_in,))])
+    s = lax.rsqrt(jnp.maximum(d, jnp.asarray(1e-12, dtype)))
+
+    def jacobi_mv(w):
+        w = s * w
+        o1, o2, o3 = kkt.kkt_matvec(spec, op, rho, mask, mu_eq, mu_in,
+                                    w[:n], w[n:n + n_eq], w[n + n_eq:])
+        return s * jnp.concatenate([o1, o2, o3])
+
+    wj, _, _ = minres(jacobi_mv, s * jnp.concatenate([r1, r2, r3]),
+                      tol=1e-14, max_iter=cap)
+    wj = s * wj
+    err_jac = true_residual(wj[:n], wj[n:n + n_eq], wj[n + n_eq:])
+    assert err_raw < 1e-2 * err_jac, (float(err_raw), float(err_jac))
+
+    # and the public API surfaces the MINRES effort on a matrixfree solve
+    res = sparse.solve(H=H_, g=g, A=A_, b=b, C=C_, l=l, u=u,
+                       eps_abs=1e-6, sparse_backend=pt.SparseBackend.MatrixFree)
+    assert int(res.info.status) == int(pt.QPSolverOutput.PROXQP_SOLVED)
+    assert 0 < int(res.info.minres_iters) < 10_000_000
+
+
+def test_sparse_same_pattern_fast_update():
+    """VERDICT r3 ask #6 (reference sparse::QP::update semantics,
+    sparse/wrapper.hpp:357 + helpers.hpp:414-460): an update whose
+    matrices keep the sparsity pattern must re-APPLY the stored Ruiz
+    scaling (no equilibration re-run) and warm-resolve in 0 iterations
+    when the solution still holds."""
+    from proxsuite_tpu.types import InitialGuess
+
+    n, n_eq, n_in = 80, 20, 30
+    H, g, A, b, C, u, l = _sparse_random_qp(n, n_eq, n_in, 0.1, seed=31)
+    qp = sparse.QP(n, n_eq, n_in, settings=pt.Settings(
+        eps_abs=1e-9, sparse_backend=pt.SparseBackend.MatrixFree))
+    qp.init(H=H, g=g, A=A, b=b, C=C, l=l, u=u)
+    res0 = qp.solve()
+    assert int(res0.info.status) == int(pt.QPSolverOutput.PROXQP_SOLVED)
+    deltas0 = (qp._scaled.delta_x, qp._scaled.delta_y, qp._scaled.delta_z,
+               qp._scaled.c)
+
+    # same-pattern update: new data, identical indices
+    H2 = H.copy(); H2.data = H2.data * 1.02
+    qp.settings = qp.settings.replace(
+        initial_guess=InitialGuess.WARM_START_WITH_PREVIOUS_RESULT)
+    qp.update(H=H2)
+    # the scaling object was REUSED, not recomputed (same arrays)
+    assert qp._scaled.delta_x is deltas0[0]
+    assert qp._scaled.delta_y is deltas0[1]
+    assert qp._scaled.delta_z is deltas0[2]
+    assert qp._scaled.c is deltas0[3]
+    res1 = qp.solve()
+    assert int(res1.info.status) == int(pt.QPSolverOutput.PROXQP_SOLVED)
+    x, y, z = np.asarray(res1.x), np.asarray(res1.y), np.asarray(res1.z)
+    pri = max(np.abs(A @ x - b).max(),
+              np.maximum(C @ x - u, 0).max() + np.maximum(l - C @ x, 0).max())
+    dua = np.abs(H2 @ x + g + A.T @ y + C.T @ z).max()
+    assert max(pri, dua) <= 2e-9, (pri, dua)
+
+    # identical re-update + warm resolve = 0 iterations (reference
+    # dense_maros_meszaros.cpp:160-162 contract carried to sparse)
+    qp.update(H=H2)
+    res2 = qp.solve()
+    assert int(res2.info.iter) == 0
+
+    # vector-only update keeps the fast path too
+    qp.update(g=g * 1.01)
+    res3 = qp.solve()
+    assert int(res3.info.status) == int(pt.QPSolverOutput.PROXQP_SOLVED)
+
+    # pattern CHANGE falls back to full re-ingest (new equilibration)
+    H3 = (H + 0.05 * spa.eye(n) @ spa.random(
+        n, n, density=0.01, random_state=3)).tocsc()
+    qp.update(H=H3)
+    assert qp._scaled.delta_x is not deltas0[0]
+    res4 = qp.solve()
+    assert int(res4.info.status) == int(pt.QPSolverOutput.PROXQP_SOLVED)
+
+
 def test_sparse_10k_dim():
     """VERDICT r1 item 3 'done' criterion: a >=10,000-dim, <1% dense QP
     solves through the sparse path, KKT-verified. The dense path would

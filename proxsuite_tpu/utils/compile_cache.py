@@ -47,11 +47,18 @@ def enable_compile_cache(base_dir: str, *, per_machine: bool = False) -> None:
             "0", "false"):
         jax.config.update("jax_enable_compilation_cache", False)
         return
-    from jax._src import compilation_cache as _cc
+    if per_machine:
+        # CPU-only: the zstandard pin must NOT be applied under the axon
+        # TPU tunnel — with PALLAS_AXON_REMOTE_COMPILE=1 the compressor
+        # patch makes solver-sized programs hang indefinitely after
+        # compile (reproduced 2x pinned-hang / 2x unpinned-ok on
+        # identical programs; the remote-compile transport appears to
+        # share jax's compression helpers asymmetrically).
+        from jax._src import compilation_cache as _cc
 
-    _cc.zstandard = None
-    if getattr(_cc, "zstd", None) is not None:
-        _cc.zstd = None
+        _cc.zstandard = None
+        if getattr(_cc, "zstd", None) is not None:
+            _cc.zstd = None
     path = os.path.join(base_dir, machine_key()) if per_machine else base_dir
     jax.config.update("jax_compilation_cache_dir", os.path.abspath(path))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -254,6 +254,7 @@ class QP:
     def solve(self, x=None, y=None, z=None) -> Results:
         import time as _time
         t0 = _time.perf_counter()
+        self._used_fallback = False
         if self._scaled is None:
             raise RuntimeError("QP.solve called before QP.init")
         if x is not None or y is not None or z is not None:
@@ -285,6 +286,7 @@ class QP:
             jnp.asarray(x0, dt), jnp.asarray(y0, dt), jnp.asarray(z0, dt),
             jnp.asarray(self._rho, dt), jnp.asarray(self._mu_eq, dt),
             jnp.asarray(self._mu_in, dt))
+        self._maybe_backend_fallback(x0, y0, z0)
         self._warm = None
         if self.settings.verbose:
             # solver statistics banner (reference solver.hpp:1789-1834)
@@ -306,6 +308,11 @@ class QP:
             t_first = (_time.perf_counter() - t0) * 1e6
             key = self._timing_key()
             compile_us = 0.0
+            if getattr(self, "_used_fallback", False):
+                # the kept result came from the fallback backend; a
+                # timings re-run with the primary settings would discard
+                # it, so keep wall time as solve_time
+                QP._compiled_keys.add(key)
             if key not in QP._compiled_keys:
                 QP._compiled_keys.add(key)
                 t1 = _time.perf_counter()
@@ -328,6 +335,52 @@ class QP:
                     run_time=setup_us + solve_us,
                     compile_time=compile_us))
         return self.results
+
+    def _maybe_backend_fallback(self, x0, y0, z0):
+        """Robust-backend retry when the Automatic Schur choice fails.
+
+        The Schur form squares the KKT conditioning through its mu^-1
+        Gram terms; on problems whose Hessian diagonal (nearly) vanishes
+        (QP relaxations of LPs, e.g. Maros-Meszaros QFORPLAN: H diag has
+        exact zeros, P^-1 ~ 1/rho) the inner Newton loop can stall and
+        the BCL loop then shrinks mu into divergence. The full
+        quasi-definite factorization does not square conditioning — the
+        reference's PrimalDualLDLT solves these (observed: QFORPLAN 164
+        outer iters there, 170 here with primaldual). So: when the
+        backend was chosen AUTOMATICALLY as schur and the solve returns
+        MAX_ITER_REACHED, re-solve once with the primaldual backend and
+        keep the better result. Mirrors the spirit of the reference's
+        refactorization fallback (dense/solver.hpp:474-532): pay a
+        factorization-class fallback only when the fast path provably
+        failed.
+        """
+        from .solver import resolve_backend
+
+        if self.settings.kkt_backend:
+            return  # user pinned a backend: respect it
+        if int(self.results.info.status) != int(
+                QPSolverOutput.PROXQP_MAX_ITER_REACHED):
+            return
+        if resolve_backend(self.spec, self.settings, self.dtype) != "schur":
+            return
+        dt = self.dtype
+        fb = self.settings.replace(kkt_backend="primaldual")
+        res2 = _solve_jit(
+            self.spec, fb, self._scaled,
+            jnp.asarray(x0, dt), jnp.asarray(y0, dt), jnp.asarray(z0, dt),
+            jnp.asarray(self._rho, dt), jnp.asarray(self._mu_eq, dt),
+            jnp.asarray(self._mu_in, dt))
+        r1, r2 = self.results, res2
+        keep2 = int(r2.info.status) == int(QPSolverOutput.PROXQP_SOLVED) or (
+            int(r1.info.status) == int(QPSolverOutput.PROXQP_MAX_ITER_REACHED)
+            and float(jnp.maximum(r2.info.pri_res, r2.info.dua_res))
+            < float(jnp.maximum(r1.info.pri_res, r1.info.dua_res)))
+        if keep2:
+            if self.settings.verbose:
+                print("[proxsuite_tpu] automatic schur backend hit "
+                      "MAX_ITER; primaldual fallback kept")
+            self.results = res2
+            self._used_fallback = True
 
     # ------------------------------------------------------- differentiate
     def compute_backward(self, loss_derivative, eps: float = 1e-4,

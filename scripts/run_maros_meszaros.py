@@ -50,13 +50,18 @@ def main():
     from proxsuite_tpu.utils.random_qp import kkt_residuals
 
     eps = args.eps or (1e-6 if args.tpu else 2e-8)
+    # inner_stall_iters: a stalled inner Newton loop (e.g. the Schur
+    # backend on vanishing-H-diagonal problems) breaks after 50
+    # non-improving iterations instead of burning max_iter_in=1500, so
+    # the wrapper's primaldual fallback engages in minutes, not hours
     if args.tpu:
         settings = pt.Settings(eps_abs=eps, eps_rel=0.0, max_iter=1000,
-                               high_accuracy=True,
+                               high_accuracy=True, inner_stall_iters=50,
                                eps_primal_inf=1e-12, eps_dual_inf=1e-12)
         dtype = np.float32
     else:
         settings = pt.Settings(eps_abs=eps, eps_rel=0.0,
+                               inner_stall_iters=50,
                                eps_primal_inf=1e-12, eps_dual_inf=1e-12)
         dtype = np.float64
 

@@ -111,6 +111,77 @@ def load_preprocessed(name: str, pad: bool = True,
     return qp, (pad_qp(qp) if pad else qp), dims
 
 
+def load_sparse(name: str, data_dir: str = MAROS_MESZAROS_DIR):
+    """Load a problem keeping scipy.sparse CSC operands (no densify).
+
+    Counterpart of the reference sparse corpus harness
+    (test/src/sparse_maros_meszaros.cpp:1-217): same l==u equality split
+    as `preprocess`, matrices stay sparse for the sparse.QP API.
+    Returns (H, g, A, b, C, u, l) with H/A/C scipy CSC.
+    """
+    import scipy.io as sio
+    import scipy.sparse as spa
+
+    d = sio.loadmat(os.path.join(data_dir, name + ".mat"))
+    P = d["P"].tocsc()
+    q = np.asarray(d["q"], np.float64).ravel()
+    Am = d["A"].tocsc()
+    lo = np.asarray(d["l"], np.float64).ravel()
+    up = np.asarray(d["u"], np.float64).ravel()
+    eq = lo == up
+    H = ((P + P.T) * 0.5).tocsc()
+    A = Am[eq].tocsc()
+    C = Am[~eq].tocsc()
+    return H, q, A, lo[eq], C, up[~eq], lo[~eq]
+
+
+def pad_sparse_qp(H, g, A, b, C, u, l, nse_buckets=(256, 1024, 4096,
+                                                    16384, 65536)):
+    """Neutral sparse padding: dims to _BUCKETS, nse to nse_buckets.
+
+    Same neutral extension as pad_qp (padded vars get identity H entries
+    and zero gradient; padded A rows are empty with b=0; padded C rows
+    empty with bounds +-1, never active), then each matrix's entry count
+    is padded with explicit zeros at (0, 0) so a handful of (dims, nse)
+    buckets covers the corpus with a handful of compiles.
+    Returns (H_bcoo_pair_free) as scipy COO triples converted by the
+    caller; here: (H', g', A', b', C', u', l') with scipy COO matrices.
+    """
+    import scipy.sparse as spa
+
+    n = H.shape[0]
+    n_eq = A.shape[0]
+    n_in = C.shape[0]
+    n_p, ne_p, ni_p = _bucket(n), _bucket(n_eq), _bucket(n_in)
+
+    def pad_entries(M, rows, cols, extra_r=(), extra_c=(), extra_v=()):
+        coo = M.tocoo()
+        r = np.concatenate([coo.row, extra_r]).astype(np.int64)
+        c = np.concatenate([coo.col, extra_c]).astype(np.int64)
+        v = np.concatenate([coo.data, extra_v]).astype(np.float64)
+        nse = len(v)
+        for bkt in nse_buckets:
+            if nse <= bkt:
+                pad = bkt - nse
+                break
+        else:
+            pad = 0
+        r = np.concatenate([r, np.zeros(pad, np.int64)])
+        c = np.concatenate([c, np.zeros(pad, np.int64)])
+        v = np.concatenate([v, np.zeros(pad)])
+        return spa.coo_matrix((v, (r, c)), shape=(rows, cols))
+
+    pad_idx = np.arange(n, n_p)
+    H_p = pad_entries(H, n_p, n_p, pad_idx, pad_idx, np.ones(n_p - n))
+    A_p = pad_entries(A, ne_p, n_p)
+    C_p = pad_entries(C, ni_p, n_p)
+    g_p = np.zeros(n_p); g_p[:n] = g
+    b_p = np.zeros(ne_p); b_p[:n_eq] = b
+    u_p = np.ones(ni_p); u_p[:n_in] = u
+    l_p = -np.ones(ni_p); l_p[:n_in] = l
+    return H_p, g_p, A_p, b_p, C_p, u_p, l_p
+
+
 def problems_within(n_max: int, m_max: int,
                     data_dir: str = MAROS_MESZAROS_DIR) -> List[str]:
     """Names of problems with n <= n_max and n_eq+n_in <= m_max (the

@@ -9,6 +9,9 @@ Modes:
   default   : CPU, f64, eps=2e-8  (the reference contract)
   --tpu     : real TPU chip, f32 + high_accuracy (double-float pipeline),
               eps=1e-6 (BASELINE.md north star accuracy on TPU)
+  --sparse  : CPU, f64, eps=2e-8 through the SPARSE API (matrix-free
+              MINRES backend, problems stay scipy CSC/BCOO end-to-end;
+              reference counterpart test/src/sparse_maros_meszaros.cpp)
 Writes a JSON artifact (--out) consumed as a bench artifact.
 """
 import argparse
@@ -23,6 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tpu", action="store_true")
+    ap.add_argument("--sparse", action="store_true",
+                    help="run through the sparse API (matrix-free backend)")
     ap.add_argument("--eps", type=float, default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("--max", type=int, default=None, help="limit #problems")
@@ -44,8 +49,10 @@ def main():
 
     import numpy as np
     import proxsuite_tpu as pt
-    from proxsuite_tpu.types import InitialGuess
+    from proxsuite_tpu.types import InitialGuess, SparseBackend
     from proxsuite_tpu.utils.maros_meszaros import (load_preprocessed,
+                                                    load_sparse,
+                                                    pad_sparse_qp,
                                                     problems_within)
     from proxsuite_tpu.utils.random_qp import kkt_residuals
 
@@ -96,21 +103,46 @@ def main():
     n_pass = 0
     t_total = 0.0
     for name in names:
-        orig, padded, dims = load_preprocessed(name)
-        n, n_eq, n_in = dims
+        if args.sparse:
+            Hs, gs, As, bs, Cs, us, ls = load_sparse(name)
+            n, n_eq, n_in = Hs.shape[0], As.shape[0], Cs.shape[0]
+        else:
+            orig, padded, dims = load_preprocessed(name)
+            n, n_eq, n_in = dims
         try:
-            # nonconvex support (reference helpers.hpp:174-189 +
-            # examples/cpp/estimate_nonconvex_eigenvalue.cpp): slightly
-            # indefinite corpus Hessians (e.g. VALUES, min eig -1.3e-5)
-            # need rho > |min eig| for the Cholesky-based TPU backends
-            min_eig = float(np.linalg.eigvalsh(
-                np.asarray(padded.H, np.float64)).min())
-            qp = pt.QP(padded.H.shape[0], padded.A.shape[0],
-                       padded.C.shape[0], settings=settings, dtype=dtype)
-            qp.init(H=padded.H, g=padded.g, A=padded.A, b=padded.b,
-                    C=padded.C, l=padded.l, u=padded.u,
-                    manual_minimal_H_eigenvalue=(
-                        min_eig if min_eig < 0 else None))
+            if args.sparse:
+                Hp, gp, Ap, bp, Cp, up, lp = pad_sparse_qp(
+                    Hs, gs, As, bs, Cs, us, ls)
+                min_eig = float(np.linalg.eigvalsh(
+                    Hs.toarray().astype(np.float64)).min())
+                from proxsuite_tpu import sparse as pt_sparse
+                from proxsuite_tpu.api import default_rho_for
+                from proxsuite_tpu.types import ProblemSpec
+                qp = pt_sparse.QP(
+                    Hp.shape[0], Ap.shape[0], Cp.shape[0],
+                    settings=settings.replace(
+                        sparse_backend=SparseBackend.MatrixFree))
+                rho = None
+                if min_eig < 0:
+                    # nonconvex support through the sparse kw path
+                    rho = default_rho_for(
+                        ProblemSpec(n=Hp.shape[0], n_eq=Ap.shape[0],
+                                    n_in=Cp.shape[0]),
+                        settings, np.float64) + abs(min_eig)
+                qp.init(H=Hp, g=gp, A=Ap, b=bp, C=Cp, l=lp, u=up, rho=rho)
+            else:
+                # nonconvex support (reference helpers.hpp:174-189 +
+                # examples/cpp/estimate_nonconvex_eigenvalue.cpp): slightly
+                # indefinite corpus Hessians (e.g. VALUES, min eig -1.3e-5)
+                # need rho > |min eig| for the Cholesky-based TPU backends
+                min_eig = float(np.linalg.eigvalsh(
+                    np.asarray(padded.H, np.float64)).min())
+                qp = pt.QP(padded.H.shape[0], padded.A.shape[0],
+                           padded.C.shape[0], settings=settings, dtype=dtype)
+                qp.init(H=padded.H, g=padded.g, A=padded.A, b=padded.b,
+                        C=padded.C, l=padded.l, u=padded.u,
+                        manual_minimal_H_eigenvalue=(
+                            min_eig if min_eig < 0 else None))
             t0 = time.perf_counter()
             res = qp.solve()
             jax.block_until_ready(res.x)
@@ -118,7 +150,16 @@ def main():
             x = res.x_full()[:n]
             y = res.y_full()[:n_eq]
             z = res.z_full()[:n_in]
-            pri, dua = kkt_residuals(orig, x, y, z)
+            if args.sparse:
+                pri = max(
+                    float(np.abs(As @ x - bs).max()) if n_eq else 0.0,
+                    float(np.maximum(Cs @ x - us, 0).max()) if n_in else 0.0,
+                    float(np.maximum(ls - Cs @ x, 0).max()) if n_in else 0.0)
+                dua = float(np.abs(
+                    Hs @ x + gs + (As.T @ y if n_eq else 0)
+                    + (Cs.T @ z if n_in else 0)).max())
+            else:
+                pri, dua = kkt_residuals(orig, x, y, z)
             status = int(res.info.status)
             iters = int(res.info.iter)
             # warm resolve (CPU contract only; 0 iterations expected)
@@ -158,7 +199,9 @@ def main():
                 json.dump(results, f)
 
     summary = dict(
-        mode="tpu_f32_high_accuracy" if args.tpu else "cpu_f64",
+        mode=("tpu_f32_high_accuracy" if args.tpu
+              else "cpu_f64_sparse_matrixfree" if args.sparse
+              else "cpu_f64"),
         eps_abs=eps, n_problems=len(names), n_pass=n_pass,
         total_solve_s=round(t_total, 2),
         device=str(jax.devices()[0]), problems=results)

@@ -465,14 +465,18 @@ def qp_solve_core(
     backend = resolve_backend(spec, settings, dtype)
     matrixfree = backend in ("matrixfree", "primaldual")
     # Penalty floors (reference settings mu_min_eq=1e-9 / mu_min_in=1e-8).
-    # The f32 MINRES backend solves a cond ~ 1/mu KKT system; below
-    # mu ~ 1e-6 the refinement contraction rate cond*eps_f32 exceeds 1
-    # and the KKT solves diverge (observed NaN at mu_eq=1e-9). The
-    # proximal outer loop absorbs the larger floor with a few extra
-    # iterations, so high-accuracy targets stay reachable.
+    # Every f32 backend solves a KKT system whose conditioning grows like
+    # 1/mu (Schur squares it further); iterative refinement contracts only
+    # while cond * eps_machine < 1, so below mu ~ 10*eps_f32 ~ 1e-6 the
+    # KKT solves lose contraction and the iterates diverge (observed NaN
+    # at mu_eq=1e-9 on MINRES, and on the Schur+high-accuracy path on
+    # Maros-Meszaros CVXQP1_S). The reference's own 1e-9 floor encodes the
+    # same criterion for f64 (1e-9 * eps_f64 ~ 2e-7 < 1). The proximal
+    # outer loop absorbs the larger floor with extra iterations, so
+    # high-accuracy targets stay reachable (HA certifies 1e-9 with it).
     mu_min_eq = settings.mu_min_eq
     mu_min_in = settings.mu_min_in
-    if jnp.finfo(dtype).bits < 64 and backend == "matrixfree":
+    if jnp.finfo(dtype).bits < 64:
         mu_min_eq = max(mu_min_eq, 1e-6)
         mu_min_in = max(mu_min_in, 1e-6)
     if matrixfree:
@@ -712,7 +716,21 @@ def qp_solve_core(
             mu_eq=new_mu_eq, mu_in=new_mu_in,
             bcl_eta_ext=bcl_eta_ext, bcl_eta_in=bcl_eta_in,
             scaled_eps=scaled_eps,
-            status=status, done=cert_exit,
+            # divergence break (TPU addition, no reference counterpart
+            # needed there): a backend whose KKT solves have lost all
+            # contraction (e.g. Schur on a vanishing H diagonal) can
+            # drive the iterates to overflow/NaN; once residuals are
+            # non-finite or astronomically large no convergence test can
+            # ever pass again, so stop burning max_iter and return
+            # MAX_ITER_REACHED -- the wrapper's primaldual fallback then
+            # engages immediately.
+            status=status,
+            done=jnp.logical_or(
+                cert_exit,
+                jnp.logical_or(
+                    jnp.logical_not(jnp.isfinite(
+                        pr2.pri_lhs + dr2.dua_lhs)),
+                    jnp.maximum(pr2.pri_lhs, dr2.dua_lhs) > 1e12)),
             k=s.k + 1, iter=it_total, iter_ext=s.iter_ext + 1,
             minres_iters=minres_total,
             mu_updates=s.mu_updates + mu_changed.astype(jnp.int32),

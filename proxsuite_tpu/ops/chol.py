@@ -27,6 +27,8 @@ the accuracy at the cost of matvecs only.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
@@ -35,8 +37,18 @@ from jax import lax
 
 # TPU matmuls default to bf16 operand precision; the trailing updates of a
 # Cholesky are catastrophically sensitive to that, so every product here
-# pins full-f32 (6-pass) MXU precision.
-_PREC = lax.Precision.HIGHEST
+# pins full-f32 (6-pass) MXU precision by default. The factor produced
+# here is only ever used as a refinement preconditioner (see module
+# docstring), so 3-pass bf16x3 ("high") is a legitimate experiment point
+# -- scripts/perf_sweep.py measures the trade.
+_PREC = {
+    "highest": lax.Precision.HIGHEST,
+    "high": lax.Precision.HIGH,
+}[os.environ.get("PROXSUITE_TPU_CHOL_PREC", "highest")]
+
+# Experiment knobs (scripts/perf_sweep.py): diagonal-block size of the
+# blocked factorization. 16 measured best on v5e (see docs/4-performance.md).
+_BLOCK = int(os.environ.get("PROXSUITE_TPU_CHOL_BLOCK", "16"))
 
 
 def _mm(a, b):
@@ -47,7 +59,7 @@ def _mT(x):
     return jnp.swapaxes(x, -1, -2)
 
 
-def chol_and_inv(S, block: int = 16):
+def chol_and_inv(S, block: int = _BLOCK):
     """Backend-dispatched (L, L^-1) of a batched SPD matrix.
 
     On CPU, XLA's cholesky/triangular_solve are LAPACK calls -- fast and
@@ -143,7 +155,7 @@ def _ldl_signed_block(D, eps_floor):
     return L, sign_vec, X
 
 
-def ldl_signed_and_inv(K, block: int = 16, eps_floor: float = 0.0):
+def ldl_signed_and_inv(K, block: int = _BLOCK, eps_floor: float = 0.0):
     """Blocked signed Cholesky of a symmetric QUASI-DEFINITE matrix:
     K = Lt diag(s) Lt^T, s in {+-1}, plus the explicit inverse Lt^-1.
 
@@ -200,7 +212,7 @@ def ldl_signed_and_inv(K, block: int = 16, eps_floor: float = 0.0):
     return L, sgn, Linv
 
 
-def cholesky_inverse(S, block: int = 16, eps_floor: float = 0.0):
+def cholesky_inverse(S, block: int = _BLOCK, eps_floor: float = 0.0):
     """Batched lower Cholesky L of S plus its explicit inverse L^-1.
 
     S: (..., m, m) symmetric positive definite (leading dims = batch).

@@ -51,6 +51,21 @@ from .chol import chol_and_inv
 # at bf16 operand precision on TPU (see ops/chol.py).
 _PREC = lax.Precision.HIGHEST
 
+# Factor-path precision (experiment knob, scripts/perf_sweep.py): the Gram
+# blocks and the L^-1 preconditioner applications only steer iterative
+# refinement -- refinement residuals against the EXACT operator (kkt_matvec
+# / kkt_residual, pinned at _PREC) absorb any factor-side error, so these
+# products are demotable to 3-pass bf16x3 without touching the convergence
+# criterion. Default stays HIGHEST; see docs/4-performance.md for the
+# measured trade.
+import os as _os  # noqa: E402
+
+_PREC_FACTOR = {
+    "highest": lax.Precision.HIGHEST,
+    "high": lax.Precision.HIGH,
+    "default": lax.Precision.DEFAULT,
+}[_os.environ.get("PROXSUITE_TPU_FACTOR_PREC", "highest")]
+
 
 def _mm(a, b):
     if not isinstance(a, jax.Array):
@@ -58,6 +73,13 @@ def _mm(a, b):
         # matmul (gather + segment-sum, full precision by construction)
         return a @ b
     return jnp.matmul(a, b, precision=_PREC)
+
+
+def _mm_factor(a, b):
+    """Matmul on the refinement-absorbed factor path (see _PREC_FACTOR)."""
+    if not isinstance(a, jax.Array):
+        return a @ b
+    return jnp.matmul(a, b, precision=_PREC_FACTOR)
 
 
 class KKTFactors(NamedTuple):
@@ -87,7 +109,7 @@ class KKTOperand(NamedTuple):
 def _p_solve(spec: ProblemSpec, f: KKTFactors, r: jax.Array) -> jax.Array:
     """x = P^-1 r = L^-T (L^-1 r), as two matvecs."""
     if spec.hessian_type == HessianType.Dense:
-        return _mm(f.Linv_P.T, _mm(f.Linv_P, r))
+        return _mm_factor(f.Linv_P.T, _mm_factor(f.Linv_P, r))
     return f.P_inv_diag * r
 
 
@@ -108,8 +130,8 @@ def factorize(
         _, Linv_P = chol_and_inv(P)
         # Y = L^-1 [A^T C^T]  ->  Gram blocks = Y^T Y split into quadrants.
         ACt = jnp.concatenate([op.A.T, op.C.T], axis=1)  # (n, m)
-        Y = _mm(Linv_P, ACt)
-        G = _mm(Y.T, Y)
+        Y = _mm_factor(Linv_P, ACt)
+        G = _mm_factor(Y.T, Y)
         P_inv_diag = jnp.zeros((n,), dtype)
     else:
         if spec.hessian_type == HessianType.Zero:
@@ -193,7 +215,7 @@ def build_newton_system(
 
 
 def _s_solve(sys: NewtonSystem, r: jax.Array) -> jax.Array:
-    return _mm(sys.Linv_S.T, _mm(sys.Linv_S, r))
+    return _mm_factor(sys.Linv_S.T, _mm_factor(sys.Linv_S, r))
 
 
 def kkt_apply_inverse(

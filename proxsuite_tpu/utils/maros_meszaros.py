@@ -76,14 +76,21 @@ def _bucket(x: int, buckets: Sequence[int] = _BUCKETS) -> int:
 
 def pad_qp(qp: DenseQPData, n_pad: Optional[int] = None,
            n_eq_pad: Optional[int] = None,
-           n_in_pad: Optional[int] = None) -> DenseQPData:
-    """Pad to bucketed dims with a neutral extension (see module docstring)."""
+           n_in_pad: Optional[int] = None,
+           buckets: Sequence[int] = _BUCKETS) -> DenseQPData:
+    """Pad to bucketed dims with a neutral extension (see module docstring).
+
+    `buckets` trades padded-solve FLOPs against XLA compile count: the
+    62-problem <=1000-dim corpus has 33 unique shapes under the default
+    fine buckets but only 8 under (128, 512, 1024) -- on TPU, where each
+    shape costs a multi-minute jit, coarse buckets are the right call.
+    """
     n = qp.H.shape[0]
     n_eq = qp.A.shape[0]
     n_in = qp.C.shape[0]
-    n_p = _bucket(n) if n_pad is None else n_pad
-    ne_p = _bucket(n_eq) if n_eq_pad is None else n_eq_pad
-    ni_p = _bucket(n_in) if n_in_pad is None else n_in_pad
+    n_p = _bucket(n, buckets) if n_pad is None else n_pad
+    ne_p = _bucket(n_eq, buckets) if n_eq_pad is None else n_eq_pad
+    ni_p = _bucket(n_in, buckets) if n_in_pad is None else n_in_pad
 
     H = np.zeros((n_p, n_p))
     H[:n, :n] = qp.H
@@ -104,11 +111,12 @@ def pad_qp(qp: DenseQPData, n_pad: Optional[int] = None,
 
 
 def load_preprocessed(name: str, pad: bool = True,
-                      data_dir: str = MAROS_MESZAROS_DIR):
+                      data_dir: str = MAROS_MESZAROS_DIR,
+                      buckets: Sequence[int] = _BUCKETS):
     """Returns (original DenseQPData, padded DenseQPData, (n, n_eq, n_in))."""
     qp = preprocess(load_qp(name, data_dir))
     dims = (qp.H.shape[0], qp.A.shape[0], qp.C.shape[0])
-    return qp, (pad_qp(qp) if pad else qp), dims
+    return qp, (pad_qp(qp, buckets=buckets) if pad else qp), dims
 
 
 def load_sparse(name: str, data_dir: str = MAROS_MESZAROS_DIR):

@@ -107,7 +107,13 @@ def main():
             Hs, gs, As, bs, Cs, us, ls = load_sparse(name)
             n, n_eq, n_in = Hs.shape[0], As.shape[0], Cs.shape[0]
         else:
-            orig, padded, dims = load_preprocessed(name)
+            # TPU: coarse shape buckets (8 unique shapes over the corpus
+            # instead of 33) -- each unique shape costs a multi-minute XLA
+            # jit on this host, and the neutral padding keeps the solution
+            # set identical (utils/maros_meszaros.py pad_qp docstring)
+            buckets = (128, 512, 1024) if args.tpu else None
+            orig, padded, dims = load_preprocessed(
+                name, **({"buckets": buckets} if buckets else {}))
             n, n_eq, n_in = dims
         try:
             if args.sparse:

@@ -70,7 +70,14 @@ def chol_and_inv(S, block: int = _BLOCK):
     """
     if S.shape[-1] == 0:
         return S, S
-    if jax.default_backend() == "cpu":
+    if jax.default_backend() == "cpu" and jnp.finfo(S.dtype).bits >= 64:
+        # f32 deliberately does NOT take the LAPACK shortcut: a matrix
+        # that is numerically indefinite at f32 (e.g. Maros-Meszaros
+        # CVXQP1_S after Ruiz, H + 1e-6 I) makes LAPACK's chol return
+        # NaN and poison the whole solve, while the blocked kernel's
+        # relative pivot floor degrades gracefully (refinement absorbs
+        # the floored subspace). Keeping f32 on the blocked path also
+        # makes CPU tests bit-representative of the TPU kernel.
         L = lax.linalg.cholesky(S)
         eye = jnp.broadcast_to(jnp.eye(S.shape[-1], dtype=S.dtype), S.shape)
         Linv = lax.linalg.triangular_solve(
@@ -155,7 +162,8 @@ def _ldl_signed_block(D, eps_floor):
     return L, sign_vec, X
 
 
-def ldl_signed_and_inv(K, block: int = _BLOCK, eps_floor: float = 0.0):
+def ldl_signed_and_inv(K, block: int = _BLOCK, eps_floor: float = 0.0,
+                       full_inverse: bool = True):
     """Blocked signed Cholesky of a symmetric QUASI-DEFINITE matrix:
     K = Lt diag(s) Lt^T, s in {+-1}, plus the explicit inverse Lt^-1.
 
@@ -171,7 +179,11 @@ def ldl_signed_and_inv(K, block: int = _BLOCK, eps_floor: float = 0.0):
     if m == 0:
         return K, jnp.zeros(K.shape[:-1], dtype), K
     if eps_floor == 0.0:
-        eps_floor = float(jnp.finfo(dtype).tiny)
+        # relative |pivot| floor -- same rationale as cholesky_inverse
+        scale = jnp.max(jnp.abs(jnp.diagonal(K, axis1=-2, axis2=-1)),
+                        axis=-1)
+        eps_floor = 4 * jnp.finfo(dtype).eps * jnp.maximum(
+            scale, jnp.asarray(jnp.finfo(dtype).tiny, dtype))
     mp = ((m + block - 1) // block) * block
     if mp != m:
         pad = mp - m
@@ -200,16 +212,71 @@ def ldl_signed_and_inv(K, block: int = _BLOCK, eps_floor: float = 0.0):
             L = L.at[..., ke:, kb:ke].set(Lp)
             A = A.at[..., ke:, ke:].add(
                 -_mm(Lp * sd[..., None, :], _mT(Lp)))
-        if kb > 0:
+        if kb > 0 and full_inverse:
+            # NOTE: chains block products -- f32 forward error compounds
+            # geometrically with nb; callers solving LARGE systems should
+            # pass full_inverse=False and use ldl_solve_blocked instead
             R = L[..., kb:ke, :kb]
             right = -_mm(Ldi, _mm(R, Linv[..., :kb, :kb]))
             Linv = Linv.at[..., kb:ke, :kb].set(right)
         Linv = Linv.at[..., kb:ke, kb:ke].set(Ldi)
     if mp != m:
-        L = L[..., :m, :m]
-        Linv = Linv[..., :m, :m]
-        sgn = sgn[..., :m]
+        if full_inverse:
+            L = L[..., :m, :m]
+            Linv = Linv[..., :m, :m]
+            sgn = sgn[..., :m]
+        # full padded factors are returned for the substitution path --
+        # ldl_solve_blocked needs the identity-padded trailing blocks
     return L, sgn, Linv
+
+
+def ldl_solve_blocked(L, sgn, Linv, r, block: int = _BLOCK):
+    """K^-1 r by blocked substitution: L^-T (s * (L^-1 r)).
+
+    Uses ONLY the diagonal blocks of `Linv` (which equal each Ld^-1
+    exactly) plus the off-diagonal panels of L. Unlike a matvec with the
+    explicit global L^-1, the error here is substitution-class
+    (~ n * eps * cond), NOT compounded geometrically across block
+    columns: the explicit triangular inverse of an (n+m)-dim LDL chains
+    48+ block products at corpus sizes and its f32 forward error was
+    measured at O(1) -- large enough that iterative refinement stopped
+    contracting and the outer loop diverged (Maros-Meszaros CVXQP3_S).
+    The explicit-inverse fast path remains the right trade for the
+    BATCHED small-m Schur engine (ops/kkt.py _s_solve); this is the
+    robust path for large single-QP factorizations.
+    """
+    m = r.shape[-1]
+    if m == 0:
+        return r
+    mp = L.shape[-1]
+    if mp != m:
+        r = jnp.concatenate(
+            [r, jnp.zeros(r.shape[:-1] + (mp - m,), r.dtype)], axis=-1)
+    nb = mp // block
+    # forward: L w = r
+    w = jnp.zeros_like(r)
+    for k in range(nb):
+        kb, ke = k * block, (k + 1) * block
+        acc = r[..., kb:ke]
+        if k > 0:
+            acc = acc - jnp.einsum("...ij,...j->...i", L[..., kb:ke, :kb],
+                                   w[..., :kb], precision=_PREC)
+        wk = jnp.einsum("...ij,...j->...i", Linv[..., kb:ke, kb:ke], acc,
+                        precision=_PREC)
+        w = w.at[..., kb:ke].set(wk)
+    w = w * sgn
+    # backward: L^T v = w
+    v = jnp.zeros_like(w)
+    for k in reversed(range(nb)):
+        kb, ke = k * block, (k + 1) * block
+        acc = w[..., kb:ke]
+        if ke < mp:
+            acc = acc - jnp.einsum("...ji,...j->...i", L[..., ke:, kb:ke],
+                                   v[..., ke:], precision=_PREC)
+        vk = jnp.einsum("...ji,...j->...i", Linv[..., kb:ke, kb:ke], acc,
+                        precision=_PREC)
+        v = v.at[..., kb:ke].set(vk)
+    return v[..., :m]
 
 
 def cholesky_inverse(S, block: int = _BLOCK, eps_floor: float = 0.0):
@@ -225,7 +292,18 @@ def cholesky_inverse(S, block: int = _BLOCK, eps_floor: float = 0.0):
     if m == 0:
         return S, S
     if eps_floor == 0.0:
-        eps_floor = float(jnp.finfo(dtype).tiny)
+        # RELATIVE pivot floor: a matrix numerically indefinite at working
+        # precision (accumulated trailing-update error ~ n*eps*||S||) gets
+        # its negative/vanishing pivots clamped at the round-off scale of
+        # the matrix, keeping L and L^-1 bounded (~1/sqrt(eps)) instead of
+        # overflowing to inf at a `tiny` floor (rsqrt(1e-38) ~ 1.7e19,
+        # observed NaN-ing Maros-Meszaros CVXQP1_S in f32). The floored
+        # subspace is exactly where the factor has no accuracy anyway;
+        # iterative refinement against the exact operator absorbs it.
+        scale = jnp.max(jnp.abs(jnp.diagonal(S, axis1=-2, axis2=-1)),
+                        axis=-1)
+        eps_floor = 4 * jnp.finfo(dtype).eps * jnp.maximum(
+            scale, jnp.asarray(jnp.finfo(dtype).tiny, dtype))
     mp = ((m + block - 1) // block) * block
     if mp != m:
         pad = mp - m

@@ -331,7 +331,7 @@ def primaldual_solve_fn(
     Active-set changes remain free-form masking; the factorization is
     rebuilt per Newton step (refactorize-always, SURVEY section 7).
     """
-    from .chol import ldl_signed_and_inv
+    from .chol import ldl_signed_and_inv, ldl_solve_blocked
 
     n, n_eq, n_c = spec.n, spec.n_eq, spec.n_c
     dtype = sys.mask.dtype
@@ -349,11 +349,18 @@ def primaldual_solve_fn(
         [op.A, -sys.mu_eq * jnp.eye(n_eq, dtype=dtype), Z(n_eq, n_c)],
         [Cm, Z(n_c, n_eq), -sys.mu_in * jnp.eye(n_c, dtype=dtype)],
     ])
-    _, sgn, Ltinv = ldl_signed_and_inv(K)
+    # full_inverse=False + blocked substitution: at primaldual sizes
+    # (n+m can be 1000+, dozens of 16-blocks) the explicit global Lt^-1
+    # compounds f32 error geometrically across block columns -- measured
+    # O(1) forward error on Maros-Meszaros CVXQP3_S, which stalled
+    # refinement and diverged the outer loop. Substitution keeps the
+    # error at backward-stable scale; the explicit inverse remains the
+    # batched small-m Schur engine's fast path (_s_solve).
+    Lt, sgn, Ltinv = ldl_signed_and_inv(K, full_inverse=False)
 
     def solve_fn(r1, r2, r3):
         r = jnp.concatenate([r1, r2, r3])
-        w = _mm(Ltinv.T, sgn * _mm(Ltinv, r))
+        w = ldl_solve_blocked(Lt, sgn, Ltinv, r)
         return w[:n], w[n:n + n_eq], w[n + n_eq:]
 
     return solve_fn
@@ -464,10 +471,50 @@ def solve_with_refinement(
                                   high_accuracy=ha)
         new_err = jnp.maximum(
             jnp.maximum(infty_norm(e1), infty_norm(e2)), infty_norm(e3))
-        strikes = jnp.where(new_err > err, strikes + 1, 0)
+        # NaN-robust strike rule: only a strict improvement resets; a
+        # non-finite new_err (NaN compares False both ways) counts as a
+        # strike instead of resetting forever
+        strikes = jnp.where(new_err < err, 0, strikes + 1)
         return dx, dy, dz, e1, e2, e3, new_err, err, it + 1, strikes, its + cit
 
-    carry = (dx, dy, dz, e1, e2, e3, err, err,
-             jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32), its)
-    dx, dy, dz, _, _, _, err, _, _, _, its = lax.while_loop(cond, body, carry)
+    def body_best(carry):
+        """body + best-iterate tracking: when the factor has lost all
+        contraction (f32 on a numerically indefinite P, floored pivots)
+        the correction AMPLIFIES the error; returning the diverged last
+        iterate hands the Newton step a garbage direction that overflows
+        the outer loop (observed NaN on Maros-Meszaros CVXQP1_S in f32).
+        Keeping the best-so-far direction is the fixed-shape analogue of
+        the reference's stagnation rollback (solver.hpp:506-524)."""
+        inner, best = carry
+        inner = body(inner)
+        bdx, bdy, bdz, berr = best
+        new_err = inner[6]
+        better = jnp.logical_and(jnp.isfinite(new_err), new_err < berr)
+        best = (jnp.where(better, inner[0], bdx),
+                jnp.where(better, inner[1], bdy),
+                jnp.where(better, inner[2], bdz),
+                jnp.where(better, new_err, berr))
+        return inner, best
+
+    # a non-finite FIRST solve (overflowed factor application) would poison
+    # every arithmetic after it; restart from the zero direction (whose
+    # residual is exactly the rhs) so the inner stall break + backend
+    # fallback machinery engage with finite state
+    first_ok = jnp.isfinite(err)
+    zz = jnp.zeros_like
+    dx = jnp.where(first_ok, dx, zz(dx))
+    dy = jnp.where(first_ok, dy, zz(dy))
+    dz = jnp.where(first_ok, dz, zz(dz))
+    e1 = jnp.where(first_ok, e1, r1)
+    e2 = jnp.where(first_ok, e2, r2)
+    e3 = jnp.where(first_ok, e3, r3)
+    err = jnp.where(first_ok, err, jnp.maximum(
+        jnp.maximum(infty_norm(r1), infty_norm(r2)), infty_norm(r3)))
+
+    carry = ((dx, dy, dz, e1, e2, e3, err, err,
+              jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32), its),
+             (dx, dy, dz, err))
+    inner, best = lax.while_loop(lambda c: cond(c[0]), body_best, carry)
+    dx, dy, dz, err = best
+    its = inner[10]
     return dx, dy, dz, err, its

@@ -157,4 +157,9 @@ def primal_dual_linesearch(settings: Settings, o: LinesearchOperand) -> jax.Arra
     finite_pos = jnp.isfinite(alpha_pos)
     alpha = jnp.where(finite_pos, interp, beyond)
     alpha = jnp.where(has_bp, alpha, no_bp)
-    return alpha
+    # A degenerate direction (e.g. the zero direction a failed KKT solve
+    # now returns, see ops/kkt.py solve_with_refinement) makes every
+    # closed form 0/0 -> NaN; alpha = 0 keeps the iterate unchanged so
+    # the inner stall break / backend fallback machinery engages with
+    # finite state instead of poisoning x with NaN.
+    return jnp.where(jnp.isfinite(alpha), alpha, jnp.zeros((), dtype))

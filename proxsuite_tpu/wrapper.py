@@ -356,31 +356,68 @@ class QP:
         """
         from .solver import resolve_backend
 
-        if self.settings.kkt_backend:
-            return  # user pinned a backend: respect it
         if int(self.results.info.status) != int(
                 QPSolverOutput.PROXQP_MAX_ITER_REACHED):
             return
-        if resolve_backend(self.spec, self.settings, self.dtype) != "schur":
-            return
         dt = self.dtype
-        fb = self.settings.replace(kkt_backend="primaldual")
-        res2 = _solve_jit(
-            self.spec, fb, self._scaled,
-            jnp.asarray(x0, dt), jnp.asarray(y0, dt), jnp.asarray(z0, dt),
-            jnp.asarray(self._rho, dt), jnp.asarray(self._mu_eq, dt),
-            jnp.asarray(self._mu_in, dt))
-        r1, r2 = self.results, res2
-        keep2 = int(r2.info.status) == int(QPSolverOutput.PROXQP_SOLVED) or (
-            int(r1.info.status) == int(QPSolverOutput.PROXQP_MAX_ITER_REACHED)
-            and float(jnp.maximum(r2.info.pri_res, r2.info.dua_res))
-            < float(jnp.maximum(r1.info.pri_res, r1.info.dua_res)))
-        if keep2:
-            if self.settings.verbose:
-                print("[proxsuite_tpu] automatic schur backend hit "
-                      "MAX_ITER; primaldual fallback kept")
-            self.results = res2
-            self._used_fallback = True
+        f32 = jnp.finfo(dt).bits < 64
+        pinned = bool(self.settings.kkt_backend)
+        attempts = []
+        if (not pinned
+                and resolve_backend(self.spec, self.settings, self.dtype)
+                == "schur"):
+            attempts.append(("primaldual fallback",
+                             self.settings.replace(kkt_backend="primaldual"),
+                             self._rho))
+        retry_backend = (self.settings.kkt_backend if pinned
+                         else "primaldual")
+        if retry_backend == "matrixfree":
+            return  # no factor to regularize; MINRES has its own telemetry
+        if f32:
+            # rho-escalated robust retry: a problem whose Ruiz-scaled
+            # H + rho I is numerically indefinite AT f32 (accumulated
+            # factorization error ~ n*eps*||H|| exceeds rho = 1e-6, e.g.
+            # Maros-Meszaros CVXQP1_S) defeats BOTH factorizing backends:
+            # the pivots get floored (ops/chol.py) and refinement cannot
+            # contract. rho = 1e-4 bounds cond(P) so the f32 factor
+            # regains contraction; the proximal outer loop absorbs the
+            # larger rho with extra (cheap) iterations. Measured:
+            # CVXQP1_S f32+HA diverges at rho=1e-6, solves in 231 iters
+            # at rho=1e-4 with external f64 KKT < 1e-6.
+            # a pinned backend is respected: the retry re-runs the SAME
+            # backend with more proximal regularization, it never switches.
+            # The ladder exists because the sweet spot is problem-dependent:
+            # CVXQP1_S converges at 1e-4 while CVXQP3_S needs 1e-3 (its
+            # primal residual stalls at ~1e-4 with smaller rho).
+            for rho_retry in (1e-4, 1e-3):
+                attempts.append(
+                    (f"rho={rho_retry:g} {retry_backend} retry",
+                     self.settings.replace(kkt_backend=retry_backend),
+                     max(float(self._rho), rho_retry)))
+        for label, fb, rho in attempts:
+            res2 = _solve_jit(
+                self.spec, fb, self._scaled,
+                jnp.asarray(x0, dt), jnp.asarray(y0, dt), jnp.asarray(z0, dt),
+                jnp.asarray(rho, dt), jnp.asarray(self._mu_eq, dt),
+                jnp.asarray(self._mu_in, dt))
+            r1, r2 = self.results, res2
+            r1max = float(jnp.maximum(r1.info.pri_res, r1.info.dua_res))
+            r2max = float(jnp.maximum(r2.info.pri_res, r2.info.dua_res))
+            if r1max != r1max:  # NaN-held result loses to anything finite
+                r1max = float("inf")
+            keep2 = (int(r2.info.status) == int(QPSolverOutput.PROXQP_SOLVED)
+                     or (int(r1.info.status)
+                         == int(QPSolverOutput.PROXQP_MAX_ITER_REACHED)
+                         and r2max < r1max))
+            if keep2:
+                if self.settings.verbose:
+                    print(f"[proxsuite_tpu] automatic backend hit MAX_ITER; "
+                          f"{label} kept")
+                self.results = res2
+                self._used_fallback = True
+            if int(self.results.info.status) == int(
+                    QPSolverOutput.PROXQP_SOLVED):
+                return
 
     # ------------------------------------------------------- differentiate
     def compute_backward(self, loss_derivative, eps: float = 1e-4,

@@ -45,7 +45,6 @@ def main():
     enable_compile_cache(os.path.join(REPO, cache), per_machine=not on_tpu)
 
     from proxsuite_tpu.ops import kkt
-    from proxsuite_tpu.ops.linesearch import primal_dual_ls
     from proxsuite_tpu.ops.residuals import (ScaledQP, global_dual_residual,
                                              global_primal_residual)
     from proxsuite_tpu.parallel.batch import _solve_batch_jit

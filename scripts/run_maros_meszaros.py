@@ -62,8 +62,16 @@ def main():
     # non-improving iterations instead of burning max_iter_in=1500, so
     # the wrapper's primaldual fallback engages in minutes, not hours
     if args.tpu:
+        # kkt_backend pinned to primaldual: the reference's own default
+        # dense backend (dense_backend_choice -> PrimalDualLDLT,
+        # dense/wrapper.hpp:82-113) and the conditioning-robust choice for
+        # single hard corpus QPs; it also keeps the run to ONE compiled
+        # program per shape (the automatic schur->primaldual->rho-retry
+        # chain would jit up to 3). The batched throughput path keeps the
+        # masked-Schur backend.
         settings = pt.Settings(eps_abs=eps, eps_rel=0.0, max_iter=1000,
                                high_accuracy=True, inner_stall_iters=50,
+                               kkt_backend="primaldual",
                                eps_primal_inf=1e-12, eps_dual_inf=1e-12)
         dtype = np.float32
     else:
@@ -149,10 +157,24 @@ def main():
                         C=padded.C, l=padded.l, u=padded.u,
                         manual_minimal_H_eigenvalue=(
                             min_eig if min_eig < 0 else None))
-            t0 = time.perf_counter()
-            res = qp.solve()
-            jax.block_until_ready(res.x)
-            t = time.perf_counter() - t0
+            # The axon TPU worker can crash mid-run ("UNAVAILABLE: TPU
+            # worker process crashed or restarted") and come back after a
+            # couple of minutes; retry instead of burning the rest of the
+            # corpus as instant failures.
+            for attempt in range(4):
+                try:
+                    t0 = time.perf_counter()
+                    res = qp.solve()
+                    jax.block_until_ready(res.x)
+                    t = time.perf_counter() - t0
+                    break
+                except Exception as e:  # noqa: BLE001
+                    if "UNAVAILABLE" not in str(e) or attempt == 3:
+                        raise
+                    print(f"  TPU worker unavailable on {name} "
+                          f"(attempt {attempt + 1}); waiting 120s",
+                          flush=True)
+                    time.sleep(120)
             x = res.x_full()[:n]
             y = res.y_full()[:n_eq]
             z = res.z_full()[:n_in]
@@ -181,11 +203,13 @@ def main():
                 False, -1, 0, float("inf"), float("inf"), 0.0, None)
             print(f"  EXC {name}: {type(e).__name__}: {str(e)[:120]}",
                   flush=True)
-            # fail fast on a dead device: a TPU worker crash poisons every
-            # subsequent call, so an all-exception prefix means the run is
-            # garbage, not that the problems are hard
-            if len(results) >= 2 and all(r["status"] == -1 for r in results):
-                print("ABORT: first problems all raised - device looks "
+            # fail fast on a dead device: a TPU worker that stays down
+            # poisons every subsequent call, so THREE CONSECUTIVE
+            # exceptions (anywhere in the run, not just the prefix) mean
+            # the run is garbage, not that the problems are hard
+            if (len(results) >= 2
+                    and all(r["status"] == -1 for r in results[-2:])):
+                print("ABORT: 3 consecutive problems raised - device looks "
                       "dead; rerun when the TPU is healthy", flush=True)
                 sys.exit(2)
         n_pass += ok

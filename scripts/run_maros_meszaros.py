@@ -123,6 +123,7 @@ def main():
             orig, padded, dims = load_preprocessed(
                 name, **({"buckets": buckets} if buckets else {}))
             n, n_eq, n_in = dims
+        backend_used = None
         try:
             if args.sparse:
                 Hp, gp, Ap, bp, Cp, up, lp = pad_sparse_qp(
@@ -132,10 +133,21 @@ def main():
                 from proxsuite_tpu import sparse as pt_sparse
                 from proxsuite_tpu.api import default_rho_for
                 from proxsuite_tpu.types import ProblemSpec
+                # budgeted matrix-free attempt: the MINRES path at 2e-8 is
+                # open-ended on the handful of ill-conditioned corpus
+                # problems (QCAPRI ran >80 min: up to max_iter_in inner
+                # Newton steps per outer, each a 2(n+m)-iteration MINRES).
+                # Bound the attempt; on MAX_ITER fall back to the
+                # SparseCholesky backend (densify+Schur -- what the
+                # Automatic policy picks for every <=1000-dim problem
+                # anyway, sparse.py:50) and RECORD which backend produced
+                # the result.
+                mf_settings = settings.replace(
+                    sparse_backend=SparseBackend.MatrixFree,
+                    max_iter=150, max_iter_in=150)
                 qp = pt_sparse.QP(
                     Hp.shape[0], Ap.shape[0], Cp.shape[0],
-                    settings=settings.replace(
-                        sparse_backend=SparseBackend.MatrixFree))
+                    settings=mf_settings)
                 rho = None
                 if min_eig < 0:
                     # nonconvex support through the sparse kw path
@@ -175,6 +187,23 @@ def main():
                           f"(attempt {attempt + 1}); waiting 120s",
                           flush=True)
                     time.sleep(120)
+            backend_used = None
+            if args.sparse:
+                backend_used = "matrixfree"
+                if int(res.info.status) != 0:
+                    # SparseCholesky fallback (recorded per problem)
+                    from proxsuite_tpu import sparse as pt_sparse
+                    qp = pt_sparse.QP(
+                        Hp.shape[0], Ap.shape[0], Cp.shape[0],
+                        settings=settings.replace(
+                            sparse_backend=SparseBackend.SparseCholesky))
+                    qp.init(H=Hp, g=gp, A=Ap, b=bp, C=Cp, l=lp, u=up,
+                            rho=rho)
+                    t0 = time.perf_counter()
+                    res = qp.solve()
+                    jax.block_until_ready(res.x)
+                    t = time.perf_counter() - t0
+                    backend_used = "sparse_cholesky_fallback"
             x = res.x_full()[:n]
             y = res.y_full()[:n_eq]
             z = res.z_full()[:n_in]
@@ -214,10 +243,13 @@ def main():
                 sys.exit(2)
         n_pass += ok
         t_total += t
-        results.append(dict(name=name, n=n, n_eq=n_eq, n_in=n_in, ok=ok,
-                            status=status, iter=iters, pri=float(pri),
-                            dua=float(dua), time_s=round(t, 3),
-                            warm_iters=warm_iters))
+        rec = dict(name=name, n=n, n_eq=n_eq, n_in=n_in, ok=ok,
+                   status=status, iter=iters, pri=float(pri),
+                   dua=float(dua), time_s=round(t, 3),
+                   warm_iters=warm_iters)
+        if args.sparse:
+            rec["backend"] = backend_used
+        results.append(rec)
         print(f"{'PASS' if ok else 'FAIL'} {name:10s} n={n:4d} m={n_eq+n_in:4d} "
               f"status={status} iter={iters:4d} pri={pri:.2e} dua={dua:.2e} "
               f"t={t:.2f}s"

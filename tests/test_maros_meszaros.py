@@ -71,3 +71,37 @@ def test_maros_meszaros_mid(name):
     z = np.asarray(res.z)[:n_in]
     pri, dua = kkt_residuals(orig, x, y, z)
     assert dua < 2 * EPS and pri < 2 * EPS, f"{name}: {pri:.2e}/{dua:.2e}"
+
+
+def test_cvxqp1_f32_high_accuracy_robustness():
+    """f32 HA regression for the round-4 NaN class (CVXQP1_S).
+
+    The Ruiz-scaled CVXQP Hessians are numerically indefinite AT f32 with
+    rho = 1e-6: before the round-4 fixes the first Cholesky overflowed
+    (tiny pivot floor -> rsqrt(1e-38)), the exact linesearch divided 0/0,
+    and the solve returned NaN residuals. With relative pivot floors,
+    best-iterate refinement, the substitution LDL solve, and the
+    rho-retry ladder, the automatic chain must SOLVE it and certify the
+    reference-grade criterion against the f64 oracle.
+    """
+    # coarse buckets = the TPU corpus-run configuration this guards
+    orig, padded, dims = load_preprocessed("CVXQP1_S",
+                                           buckets=(128, 512, 1024))
+    n, n_eq, n_in = dims
+    eps = 1e-6
+    settings = pt.Settings(eps_abs=eps, eps_rel=0.0, max_iter=1000,
+                           high_accuracy=True, inner_stall_iters=50,
+                           kkt_backend="primaldual",
+                           eps_primal_inf=1e-12, eps_dual_inf=1e-12)
+    qp = pt.QP(padded.H.shape[0], padded.A.shape[0], padded.C.shape[0],
+               settings=settings, dtype=np.float32)
+    qp.init(H=padded.H, g=padded.g, A=padded.A, b=padded.b,
+            C=padded.C, l=padded.l, u=padded.u)
+    res = qp.solve()
+    assert int(res.info.status) == int(pt.QPSolverOutput.PROXQP_SOLVED)
+    x = np.asarray(res.x, np.float64)[:n]
+    y = np.asarray(res.y, np.float64)[:n_eq]
+    z = np.asarray(res.z, np.float64)[:n_in]
+    pri, dua = kkt_residuals(orig, x, y, z)
+    assert pri < 2 * eps and dua < 2 * eps, f"{pri:.2e}/{dua:.2e}"
+    assert np.isfinite(pri) and np.isfinite(dua)

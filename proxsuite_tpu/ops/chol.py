@@ -28,6 +28,7 @@ the accuracy at the cost of matvecs only.
 from __future__ import annotations
 
 import os
+from typing import NamedTuple
 
 import numpy as np
 
@@ -41,10 +42,16 @@ from jax import lax
 # here is only ever used as a refinement preconditioner (see module
 # docstring), so 3-pass bf16x3 ("high") is a legitimate experiment point
 # -- scripts/perf_sweep.py measures the trade.
-_PREC = {
+_PREC_NAMES = {
     "highest": lax.Precision.HIGHEST,
     "high": lax.Precision.HIGH,
-}[os.environ.get("PROXSUITE_TPU_CHOL_PREC", "highest")]
+}
+_PREC_ENV = os.environ.get("PROXSUITE_TPU_CHOL_PREC", "highest")
+if _PREC_ENV not in _PREC_NAMES:
+    raise ValueError(
+        f"PROXSUITE_TPU_CHOL_PREC={_PREC_ENV!r} is not a valid precision; "
+        f"allowed values: {sorted(_PREC_NAMES)}")
+_PREC = _PREC_NAMES[_PREC_ENV]
 
 # Experiment knobs (scripts/perf_sweep.py): diagonal-block size of the
 # blocked factorization. 16 measured best on v5e (see docs/4-performance.md).
@@ -57,6 +64,23 @@ def _mm(a, b):
 
 def _mT(x):
     return jnp.swapaxes(x, -1, -2)
+
+
+def _dslice(x, starts, sizes):
+    """dynamic_slice over the TRAILING dims (leading batch dims kept whole)."""
+    lead = x.ndim - len(starts)
+    return lax.dynamic_slice(
+        x, (0,) * lead + tuple(starts), x.shape[:lead] + tuple(sizes))
+
+
+def _dupdate(x, upd, starts):
+    """dynamic_update_slice over the TRAILING dims (upd carries the same
+    leading batch dims as x)."""
+    lead = x.ndim - len(starts)
+    if upd.ndim < x.ndim:
+        upd = jnp.broadcast_to(
+            upd, x.shape[:lead] + upd.shape[upd.ndim - len(starts):])
+    return lax.dynamic_update_slice(x, upd, (0,) * lead + tuple(starts))
 
 
 def chol_and_inv(S, block: int = _BLOCK):
@@ -162,8 +186,22 @@ def _ldl_signed_block(D, eps_floor):
     return L, sign_vec, X
 
 
+class SignedLDL(NamedTuple):
+    """Signed-Cholesky factors + the block size they were built with.
+
+    Carrying `block` prevents the silent-wrong-result hazard of solving
+    with a different (coarser) block than the factorization used: with
+    full_inverse=False only per-factor-block diagonal inverses of Linv
+    are populated, so factor and solve MUST agree on the block size."""
+
+    L: jax.Array
+    sgn: jax.Array
+    Linv: jax.Array
+    block: int
+
+
 def ldl_signed_and_inv(K, block: int = _BLOCK, eps_floor: float = 0.0,
-                       full_inverse: bool = True):
+                       full_inverse: bool = True) -> "SignedLDL":
     """Blocked signed Cholesky of a symmetric QUASI-DEFINITE matrix:
     K = Lt diag(s) Lt^T, s in {+-1}, plus the explicit inverse Lt^-1.
 
@@ -195,31 +233,48 @@ def ldl_signed_and_inv(K, block: int = _BLOCK, eps_floor: float = 0.0,
                                    K.shape[:-2] + (pad, pad))], -1)],
             -2)
     nb = mp // block
-    A = K
-    L = jnp.zeros_like(K)
-    Linv = jnp.zeros_like(K)
-    sgn = jnp.zeros(K.shape[:-1], dtype)
-    for k in range(nb):
+    row_idx = jnp.arange(mp)
+
+    # lax.fori_loop over block columns, NOT an unrolled python loop: at
+    # primaldual sizes (mp up to ~3000, nb ~190) the unrolled graph has
+    # tens of thousands of ops -- multi-minute XLA compiles and (observed
+    # on this host) occasional compiler crashes on the largest programs.
+    # The loop body compiles ONCE; panel products run full-height with
+    # zero-masked processed rows (2-3x the flops of the shrinking
+    # triangular update, but they are MXU matmuls -- the right trade).
+    def body(k, carry):
+        A, L, Linv, sgn = carry
         kb = k * block
         ke = kb + block
-        Ld, sd, Ldi = _ldl_signed_block(A[..., kb:ke, kb:ke], eps_floor)
-        L = L.at[..., kb:ke, kb:ke].set(Ld)
-        sgn = sgn.at[..., kb:ke].set(sd)
-        if ke < mp:
-            B = A[..., ke:, kb:ke]
-            # K_panel = Lp diag(sd) Ld^T  ->  Lp = B Ld^-T diag(sd)
-            Lp = _mm(B, _mT(Ldi)) * sd[..., None, :]
-            L = L.at[..., ke:, kb:ke].set(Lp)
-            A = A.at[..., ke:, ke:].add(
-                -_mm(Lp * sd[..., None, :], _mT(Lp)))
-        if kb > 0 and full_inverse:
+        D = _dslice(A, (kb, kb), (block, block))
+        Ld, sd, Ldi = _ldl_signed_block(D, eps_floor)
+        sgn = _dupdate(sgn, sd, (kb,))
+        # full-height column block with processed rows (< ke) zeroed
+        below = (row_idx >= ke).astype(dtype)[:, None]
+        Acol = _dslice(A, (0, kb), (mp, block))
+        B = Acol * below
+        Lp = _mm(B, _mT(Ldi)) * sd[..., None, :]   # rows < ke are zero
+        colL = Lp + _dupdate(jnp.zeros_like(Lp), Ld, (kb, 0))
+        L = _dupdate(L, colL, (0, kb))
+        A = A - _mm(Lp * sd[..., None, :], _mT(Lp))
+        if full_inverse:
             # NOTE: chains block products -- f32 forward error compounds
             # geometrically with nb; callers solving LARGE systems should
             # pass full_inverse=False and use ldl_solve_blocked instead
-            R = L[..., kb:ke, :kb]
-            right = -_mm(Ldi, _mm(R, Linv[..., :kb, :kb]))
-            Linv = Linv.at[..., kb:ke, :kb].set(right)
-        Linv = Linv.at[..., kb:ke, kb:ke].set(Ldi)
+            Lrows = _dslice(L, (kb, 0), (block, mp))
+            leftc = (row_idx < kb).astype(dtype)[None, :]
+            R = Lrows * leftc
+            right = -_mm(Ldi, _mm(R, Linv))
+            rowI = (right * leftc
+                    + _dupdate(jnp.zeros_like(right), Ldi, (0, kb)))
+            Linv = _dupdate(Linv, rowI, (kb, 0))
+        else:
+            Linv = _dupdate(Linv, Ldi, (kb, kb))
+        return A, L, Linv, sgn
+
+    init = (K, jnp.zeros_like(K), jnp.zeros_like(K),
+            jnp.zeros(K.shape[:-1], dtype))
+    _, L, Linv, sgn = lax.fori_loop(0, nb, body, init)
     if mp != m:
         if full_inverse:
             L = L[..., :m, :m]
@@ -227,10 +282,10 @@ def ldl_signed_and_inv(K, block: int = _BLOCK, eps_floor: float = 0.0,
             sgn = sgn[..., :m]
         # full padded factors are returned for the substitution path --
         # ldl_solve_blocked needs the identity-padded trailing blocks
-    return L, sgn, Linv
+    return SignedLDL(L=L, sgn=sgn, Linv=Linv, block=block)
 
 
-def ldl_solve_blocked(L, sgn, Linv, r, block: int = _BLOCK):
+def ldl_solve_blocked(fac: SignedLDL, r):
     """K^-1 r by blocked substitution: L^-T (s * (L^-1 r)).
 
     Uses ONLY the diagonal blocks of `Linv` (which equal each Ld^-1
@@ -245,6 +300,7 @@ def ldl_solve_blocked(L, sgn, Linv, r, block: int = _BLOCK):
     BATCHED small-m Schur engine (ops/kkt.py _s_solve); this is the
     robust path for large single-QP factorizations.
     """
+    L, sgn, Linv, block = fac
     m = r.shape[-1]
     if m == 0:
         return r
@@ -253,29 +309,34 @@ def ldl_solve_blocked(L, sgn, Linv, r, block: int = _BLOCK):
         r = jnp.concatenate(
             [r, jnp.zeros(r.shape[:-1] + (mp - m,), r.dtype)], axis=-1)
     nb = mp // block
-    # forward: L w = r
-    w = jnp.zeros_like(r)
-    for k in range(nb):
-        kb, ke = k * block, (k + 1) * block
-        acc = r[..., kb:ke]
-        if k > 0:
-            acc = acc - jnp.einsum("...ij,...j->...i", L[..., kb:ke, :kb],
-                                   w[..., :kb], precision=_PREC)
-        wk = jnp.einsum("...ij,...j->...i", Linv[..., kb:ke, kb:ke], acc,
-                        precision=_PREC)
-        w = w.at[..., kb:ke].set(wk)
+
+    # fori_loop (not unrolled) for the same compile-size reason as the
+    # factorization. Row/column blocks run full-width: entries of w/v not
+    # yet written are zero, so the masked-substitution algebra is exact.
+    def fwd(k, w):
+        kb = k * block
+        r_blk = _dslice(r, (kb,), (block,))
+        Lrows = _dslice(L, (kb, 0), (block, mp))
+        acc = r_blk - jnp.einsum("...ij,...j->...i", Lrows, w,
+                                 precision=_PREC)
+        Ldi = _dslice(Linv, (kb, kb), (block, block))
+        wk = jnp.einsum("...ij,...j->...i", Ldi, acc, precision=_PREC)
+        return _dupdate(w, wk, (kb,))
+
+    w = lax.fori_loop(0, nb, fwd, jnp.zeros_like(r))
     w = w * sgn
-    # backward: L^T v = w
-    v = jnp.zeros_like(w)
-    for k in reversed(range(nb)):
-        kb, ke = k * block, (k + 1) * block
-        acc = w[..., kb:ke]
-        if ke < mp:
-            acc = acc - jnp.einsum("...ji,...j->...i", L[..., ke:, kb:ke],
-                                   v[..., ke:], precision=_PREC)
-        vk = jnp.einsum("...ji,...j->...i", Linv[..., kb:ke, kb:ke], acc,
-                        precision=_PREC)
-        v = v.at[..., kb:ke].set(vk)
+
+    def bwd(krev, v):
+        kb = (nb - 1 - krev) * block
+        w_blk = _dslice(w, (kb,), (block,))
+        Lcols = _dslice(L, (0, kb), (mp, block))
+        acc = w_blk - jnp.einsum("...ji,...j->...i", Lcols, v,
+                                 precision=_PREC)
+        Ldi = _dslice(Linv, (kb, kb), (block, block))
+        vk = jnp.einsum("...ji,...j->...i", Ldi, acc, precision=_PREC)
+        return _dupdate(v, vk, (kb,))
+
+    v = lax.fori_loop(0, nb, bwd, jnp.zeros_like(w))
     return v[..., :m]
 
 
@@ -337,3 +398,234 @@ def cholesky_inverse(S, block: int = _BLOCK, eps_floor: float = 0.0):
         L = L[..., :m, :m]
         Linv = Linv[..., :m, :m]
     return L, Linv
+
+
+# --------------------------------------------------------------------------
+# Double-float signed LDL: the TPU equivalent of the reference's f64 factor
+# --------------------------------------------------------------------------
+
+class FullDFLDL(NamedTuple):
+    """Signed-Cholesky factors stored as double-float (hi, lo) pairs.
+
+    Why this exists: the signed LDL of a quasi-definite KKT
+    [[H+rho I, W^T], [W, -D_mu]] has intrinsic element growth
+    ~ ||W||^2/(rho*mu) (Saunders/Vanderbei); at rho = mu = 1e-6 that is
+    ~1e12, so ANY factor stored in f32 commits a backward error ~
+    eps_f32 * growth * ||K|| that destroys iterative-refinement
+    contraction (measured divergence rate ~5x/step on Maros-Meszaros
+    CVXQP1_S even with exact trailing accumulation + df substitution,
+    scripts/exp_df_factor.py). The reference handles the same growth
+    with native f64 (linalg/dense/ldlt.hpp, T = double); TPU v5e has no
+    f64, so the factor itself is double-float: every product Ozaki-split
+    exact, every accumulation an error-free two_sum, L and the per-block
+    inverses kept as (hi, lo) pairs. Measured on the same KKT: contracts
+    ~0.15x/step at rho = mu = 1e-6, exact at mu = 1e-3.
+    """
+
+    L_hi: jax.Array
+    L_lo: jax.Array
+    sgn: jax.Array
+    Linv_hi: jax.Array   # per-diagonal-block inverses only (like
+    Linv_lo: jax.Array   # ldl_signed_and_inv(full_inverse=False))
+    block: int
+
+
+def _ldl_block_fulldf(Ahi, Alo, eps_floor):
+    """Unrolled df signed Cholesky of one (bs, bs) diagonal block."""
+    from .df import df_mul, df_rsqrt, df_scale, two_prod, two_sum
+
+    bs = Ahi.shape[-1]
+    dtype = Ahi.dtype
+    row_idx = np.arange(bs)
+    Lh = jnp.zeros_like(Ahi)
+    Ll = jnp.zeros_like(Ahi)
+    signs, rsh, rsl = [], [], []
+    for j in range(bs):
+        dh, dl = Ahi[..., j, j], Alo[..., j, j]
+        s = jnp.where(dh < 0, -1.0, 1.0).astype(dtype)
+        floored = jnp.abs(dh) <= eps_floor
+        magh = jnp.maximum(jnp.abs(dh), eps_floor)
+        magl = jnp.where(floored, 0.0, dl * s)
+        rh, rl = df_rsqrt((magh, magl))
+        signs.append(s)
+        rsh.append(rh)
+        rsl.append(rl)
+        colh, coll = df_mul(
+            (Ahi[..., :, j], Alo[..., :, j]),
+            ((rh * s)[..., None], (rl * s)[..., None]))
+        colh = jnp.where(row_idx >= j, colh, jnp.zeros((), dtype))
+        coll = jnp.where(row_idx >= j, coll, jnp.zeros((), dtype))
+        Lh = Lh.at[..., :, j].set(colh)
+        Ll = Ll.at[..., :, j].set(coll)
+        if j + 1 < bs:
+            oh, ol = df_mul((colh[..., :, None], coll[..., :, None]),
+                            (colh[..., None, :], coll[..., None, :]))
+            oh, ol = oh * s[..., None, None], ol * s[..., None, None]
+            h, e = two_sum(Ahi, -oh)
+            Ahi, Alo = two_sum(h, e + (Alo - ol))
+    sign_vec = jnp.stack(signs, axis=-1)
+    # df forward substitution for the block inverse
+    from .df import df_matmul
+    Xh = jnp.zeros_like(Ahi)
+    Xl = jnp.zeros_like(Ahi)
+    for j in range(bs):
+        e_j = jnp.zeros((bs,), dtype).at[j].set(1.0)
+        acc_h = jnp.broadcast_to(e_j, Ahi.shape[:-2] + (bs,))
+        acc_l = jnp.zeros_like(acc_h)
+        if j > 0:
+            ph, pl = df_matmul(
+                (Lh[..., j:j + 1, :j], Ll[..., j:j + 1, :j]),
+                (Xh[..., :j, :], Xl[..., :j, :]))
+            acc_h, e = two_sum(acc_h, -ph[..., 0, :])
+            acc_l = acc_l + e - pl[..., 0, :]
+        vh, vl = df_mul((acc_h, acc_l),
+                        (rsh[j][..., None], rsl[j][..., None]))
+        Xh = Xh.at[..., j, :].set(vh)
+        Xl = Xl.at[..., j, :].set(vl)
+    return Lh, Ll, sign_vec, Xh, Xl
+
+
+def ldl_fulldf(K, block: int = _BLOCK, eps_floor=None) -> "FullDFLDL":
+    """Blocked signed Cholesky of a quasi-definite matrix, all double-float.
+
+    Same structure as ldl_signed_and_inv(full_inverse=False) -- identity-
+    padded to a block multiple, per-block inverses only -- but every
+    panel product runs Ozaki-exact and every accumulation is error-free;
+    L, the trailing matrix, and the block inverses are (hi, lo) pairs.
+    ~4x the matmul count of the f32 factor; used only where the f32
+    factor provably cannot contract (see FullDFLDL docstring and
+    solver.resolve_factor_df).
+    """
+    from .df import df_matmul, df_scale, two_sum
+
+    m = K.shape[-1]
+    dtype = K.dtype
+    if m == 0:
+        z = jnp.zeros_like(K)
+        return FullDFLDL(K, z, jnp.zeros(K.shape[:-1], dtype), K, z, block)
+    if eps_floor is None:
+        # df-precision relative pivot floor: the factor resolves pivots
+        # down to ~eps_f32^2 of the matrix scale
+        scale = jnp.max(jnp.abs(jnp.diagonal(K, axis1=-2, axis2=-1)),
+                        axis=-1)
+        eps = jnp.finfo(dtype).eps
+        eps_floor = 4 * eps * eps * jnp.maximum(
+            scale, jnp.asarray(jnp.finfo(dtype).tiny, dtype))
+    mp = ((m + block - 1) // block) * block
+    if mp != m:
+        pad = mp - m
+        K = jnp.concatenate(
+            [jnp.concatenate([K, jnp.zeros(K.shape[:-2] + (m, pad), dtype)], -1),
+             jnp.concatenate(
+                 [jnp.zeros(K.shape[:-2] + (pad, m), dtype),
+                  jnp.broadcast_to(jnp.eye(pad, dtype=dtype),
+                                   K.shape[:-2] + (pad, pad))], -1)],
+            -2)
+    nb = mp // block
+    row_idx = jnp.arange(mp)
+
+    # fori_loop over block columns (compile-size, see ldl_signed_and_inv);
+    # full-height panels with processed rows zero-masked.
+    def body(k, carry):
+        Ahi, Alo, Lh, Ll, Ih, Il, sgn = carry
+        kb = k * block
+        ke = kb + block
+        Dh = _dslice(Ahi, (kb, kb), (block, block))
+        Dl = _dslice(Alo, (kb, kb), (block, block))
+        ldh, ldl_, sd, xih, xil = _ldl_block_fulldf(Dh, Dl, eps_floor)
+        Ih = _dupdate(Ih, xih, (kb, kb))
+        Il = _dupdate(Il, xil, (kb, kb))
+        sgn = _dupdate(sgn, sd, (kb,))
+        below = (row_idx >= ke).astype(dtype)[:, None]
+        Bh = _dslice(Ahi, (0, kb), (mp, block)) * below
+        Bl = _dslice(Alo, (0, kb), (mp, block)) * below
+        # panel: Lp = B Ld^-T diag(sd), all df (rows < ke are zero)
+        ph, pl = df_matmul(
+            (Bh, Bl),
+            (jnp.swapaxes(xih, -1, -2), jnp.swapaxes(xil, -1, -2)))
+        ph, pl = df_scale((ph, pl), sd[..., None, :])
+        colLh = ph + _dupdate(jnp.zeros_like(ph), ldh, (kb, 0))
+        colLl = pl + _dupdate(jnp.zeros_like(pl), ldl_, (kb, 0))
+        Lh = _dupdate(Lh, colLh, (0, kb))
+        Ll = _dupdate(Ll, colLl, (0, kb))
+        # exact trailing downdate: A -= (Lp diag(sd)) Lp^T (confined to
+        # the [ke:, ke:] region because Lp's processed rows are zero)
+        uh, ul = df_matmul(
+            (ph * sd[..., None, :], pl * sd[..., None, :]),
+            (jnp.swapaxes(ph, -1, -2), jnp.swapaxes(pl, -1, -2)))
+        h, e = two_sum(Ahi, -uh)
+        Ahi, Alo = two_sum(h, e + (Alo - ul))
+        return Ahi, Alo, Lh, Ll, Ih, Il, sgn
+
+    z = jnp.zeros_like(K)
+    init = (K, z, z, z, z, z, jnp.zeros(K.shape[:-1], dtype))
+    _, _, Lh, Ll, Ih, Il, sgn = lax.fori_loop(0, nb, body, init)
+    # keep padded factors (identity blocks) like the f32 substitution path
+    return FullDFLDL(L_hi=Lh, L_lo=Ll, sgn=sgn, Linv_hi=Ih, Linv_lo=Il,
+                     block=block)
+
+
+def ldl_solve_fulldf(fac: FullDFLDL, r_df):
+    """K^-1 r by df blocked substitution. r_df = (hi, lo); returns a pair.
+
+    The correction directions this produces must be ACCUMULATED in df by
+    the caller (ops/kkt.py solve_with_refinement carries lo words in df
+    mode): collapsing to f32 between refinement steps re-commits the
+    eps_f32 * ||K^-1|| error the df factor exists to avoid.
+    """
+    from .df import df_matmul, df_scale, two_sum
+
+    rhi, rlo = r_df
+    m = rhi.shape[-1]
+    if m == 0:
+        return rhi, rlo
+    block = fac.block
+    mp = fac.L_hi.shape[-1]
+    if mp != m:
+        z = jnp.zeros(rhi.shape[:-1] + (mp - m,), rhi.dtype)
+        rhi = jnp.concatenate([rhi, z], axis=-1)
+        rlo = jnp.concatenate([rlo, z], axis=-1)
+    nb = mp // block
+    Lh, Ll, Ih, Il = fac.L_hi, fac.L_lo, fac.Linv_hi, fac.Linv_lo
+
+    def dfmv(Mh, Ml, vh, vl):
+        ph, pl = df_matmul((Mh, Ml), (vh[..., :, None], vl[..., :, None]))
+        return ph[..., 0], pl[..., 0]
+
+    # fori_loop with full-width masked substitution (see ldl_solve_blocked)
+    def fwd(k, w):
+        wh, wl = w
+        kb = k * block
+        ah = _dslice(rhi, (kb,), (block,))
+        al = _dslice(rlo, (kb,), (block,))
+        ph, pl = dfmv(_dslice(Lh, (kb, 0), (block, mp)),
+                      _dslice(Ll, (kb, 0), (block, mp)), wh, wl)
+        h, e = two_sum(ah, -ph)
+        ah, al = two_sum(h, e + al - pl)
+        vh, vl = dfmv(_dslice(Ih, (kb, kb), (block, block)),
+                      _dslice(Il, (kb, kb), (block, block)), ah, al)
+        return _dupdate(wh, vh, (kb,)), _dupdate(wl, vl, (kb,))
+
+    wh, wl = lax.fori_loop(0, nb, fwd,
+                           (jnp.zeros_like(rhi), jnp.zeros_like(rhi)))
+    wh, wl = df_scale((wh, wl), fac.sgn)
+
+    def bwd(krev, v):
+        vh_o, vl_o = v
+        kb = (nb - 1 - krev) * block
+        ah = _dslice(wh, (kb,), (block,))
+        al = _dslice(wl, (kb,), (block,))
+        ph, pl = dfmv(jnp.swapaxes(_dslice(Lh, (0, kb), (mp, block)), -1, -2),
+                      jnp.swapaxes(_dslice(Ll, (0, kb), (mp, block)), -1, -2),
+                      vh_o, vl_o)
+        h, e = two_sum(ah, -ph)
+        ah, al = two_sum(h, e + al - pl)
+        ph, pl = dfmv(
+            jnp.swapaxes(_dslice(Ih, (kb, kb), (block, block)), -1, -2),
+            jnp.swapaxes(_dslice(Il, (kb, kb), (block, block)), -1, -2),
+            ah, al)
+        return _dupdate(vh_o, ph, (kb,)), _dupdate(vl_o, pl, (kb,))
+
+    vh_o, vl_o = lax.fori_loop(0, nb, bwd,
+                               (jnp.zeros_like(wh), jnp.zeros_like(wh)))
+    return vh_o[..., :m], vl_o[..., :m]

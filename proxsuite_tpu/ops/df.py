@@ -209,6 +209,66 @@ def exact_dot(a: jax.Array, b: jax.Array) -> Pair:
     return hi[0], lo[0]
 
 
+def exact_matmul(A: jax.Array, B: jax.Array) -> Pair:
+    """A @ B with f32 operands, exact to df precision, MXU-native.
+
+    Matrix-matrix generalization of exact_matvec (per-row grids for A,
+    per-column grids for B). Foundation of the double-float blocked LDL
+    (ops/chol.py ldl_fulldf) -- the TPU equivalent of the reference's
+    f64 factorization arithmetic (linalg/dense/factorize.hpp runs in T =
+    double; TPU v5e has no native f64, so the factor-path products are
+    Ozaki-split into exact bf16/f32 piece products instead)."""
+    dtype = A.dtype
+    if A.shape[-2] == 0 or A.shape[-1] == 0 or B.shape[-1] == 0:
+        z = jnp.zeros(A.shape[:-1] + (B.shape[-1],), dtype)
+        return z, z
+    k = A.shape[-1]
+    if k > 1024:
+        out = exact_matmul(A[..., :1024], B[..., :1024, :])
+        for lo_ in range(1024, k, 1024):
+            out = df_add(out, exact_matmul(A[..., lo_:lo_ + 1024],
+                                           B[..., lo_:lo_ + 1024, :]))
+        return out
+    hp = jax.lax.Precision.HIGHEST
+    sig_A = _pow2_grid(jnp.max(jnp.abs(A), axis=-1, keepdims=True), dtype)
+    sig_B = _pow2_grid(jnp.max(jnp.abs(B), axis=-2, keepdims=True), dtype)
+    A_p, A_r = _split_pieces(A, sig_A, _N_PIECES)
+    B_p, B_r = _split_pieces(B, sig_B, _N_PIECES)
+    terms = []
+    for p, Ap in enumerate(A_p):
+        for q, Bq in enumerate(B_p):
+            if (p + q + 2) * _PIECE_BITS > 52:
+                continue
+            terms.append(jnp.matmul(Ap, Bq, precision=hp))
+    terms.append(jnp.matmul(A_r, B, precision=hp))
+    terms.append(jnp.matmul(A - A_r, B_r, precision=hp))
+    return df_sum_terms(terms)
+
+
+def df_matmul(A: Pair, B: Pair) -> Pair:
+    """(A_hi + A_lo) @ (B_hi + B_lo) to df precision.
+
+    Leading product is exact (Ozaki); cross terms are second-order and
+    run as plain f32 matmuls; the lo*lo term is below the noise floor."""
+    hp = jax.lax.Precision.HIGHEST
+    hi, lo = exact_matmul(A[0], B[0])
+    cross = (jnp.matmul(A[0], B[1], precision=hp)
+             + jnp.matmul(A[1], B[0], precision=hp))
+    return two_sum(hi, lo + cross)
+
+
+def df_rsqrt(x: Pair) -> Pair:
+    """rsqrt of a positive df value to df precision (one df Newton step:
+    r' = r * (3 - x r^2) / 2 starting from the f32 rsqrt)."""
+    r = jax.lax.rsqrt(x[0])
+    r2 = two_prod(r, r)
+    xr2 = df_mul(x, r2)
+    t = two_sum(jnp.full_like(xr2[0], 3.0), -xr2[0])
+    t = (t[0], t[1] - xr2[1])
+    half_r = df_scale(t, r)
+    return df_scale(half_r, jnp.full_like(r, 0.5))
+
+
 def exact_matvec_d(A, A_lo, x, x_lo=None) -> Pair:
     """(A + A_lo) @ (x + x_lo) to df precision.
 

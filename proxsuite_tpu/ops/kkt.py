@@ -60,11 +60,17 @@ _PREC = lax.Precision.HIGHEST
 # measured trade.
 import os as _os  # noqa: E402
 
-_PREC_FACTOR = {
+_FACTOR_PREC_NAMES = {
     "highest": lax.Precision.HIGHEST,
     "high": lax.Precision.HIGH,
     "default": lax.Precision.DEFAULT,
-}[_os.environ.get("PROXSUITE_TPU_FACTOR_PREC", "highest")]
+}
+_FACTOR_PREC_ENV = _os.environ.get("PROXSUITE_TPU_FACTOR_PREC", "highest")
+if _FACTOR_PREC_ENV not in _FACTOR_PREC_NAMES:
+    raise ValueError(
+        f"PROXSUITE_TPU_FACTOR_PREC={_FACTOR_PREC_ENV!r} is not a valid "
+        f"precision; allowed values: {sorted(_FACTOR_PREC_NAMES)}")
+_PREC_FACTOR = _FACTOR_PREC_NAMES[_FACTOR_PREC_ENV]
 
 
 def _mm(a, b):
@@ -253,6 +259,7 @@ def kkt_residual(
     r2: jax.Array,
     r3: jax.Array,
     high_accuracy: bool = False,
+    dw_lo=None,
 ):
     """rhs - K_masked @ dw (reference iterative_residual, solver.hpp:243-318).
 
@@ -260,6 +267,10 @@ def kkt_residual(
     the refinement target, so the matvecs run exact (Ozaki split) and
     combine in double-float before collapsing (see ops/df.py) -- the f32
     equivalent of the reference's extra-precise refinement residual.
+
+    dw_lo: optional (dx_lo, dy_lo, dz_lo) low words of a double-float
+    direction (df-factor mode): their contributions are second-order, so
+    plain f32 matvecs suffice and are folded into the df combination.
     """
     if high_accuracy:
         # exact_matvec covers dense AND BCOO operands (sparse operands go
@@ -275,14 +286,27 @@ def kkt_residual(
         s1 = df_add(df_add(df_add_f32(Hdx_df, rho * dx),
                            exact_matvec(op.A.T, dy)),
                     exact_matvec(op.C.T, sys.mask * dz))
-        err1 = df_to_f32(df_add_f32(df_neg(s1), r1))
         Adx_df = exact_matvec(op.A, dx)
-        err2 = df_to_f32(df_add_f32(
-            df_neg(df_add_f32(Adx_df, -sys.mu_eq * dy)), r2))
+        s2 = df_add_f32(Adx_df, -sys.mu_eq * dy)
         Cdx_df = exact_matvec(op.C, dx)
         Cdx_m = (sys.mask * Cdx_df[0], sys.mask * Cdx_df[1])
-        err3 = df_to_f32(df_add_f32(
-            df_neg(df_add_f32(Cdx_m, -sys.mu_in * dz)), r3))
+        s3 = df_add_f32(Cdx_m, -sys.mu_in * dz)
+        if dw_lo is not None:
+            dx_lo, dy_lo, dz_lo = dw_lo
+            if spec.hessian_type == HessianType.Zero:
+                Hdx_lo = jnp.zeros_like(dx_lo)
+            elif spec.hessian_type == HessianType.Diagonal:
+                Hdx_lo = jnp.diagonal(op.H) * dx_lo
+            else:
+                Hdx_lo = _mm(op.H, dx_lo)
+            s1 = df_add_f32(s1, Hdx_lo + rho * dx_lo + _mm(op.A.T, dy_lo)
+                            + _mm(op.C.T, sys.mask * dz_lo))
+            s2 = df_add_f32(s2, _mm(op.A, dx_lo) - sys.mu_eq * dy_lo)
+            s3 = df_add_f32(s3, sys.mask * _mm(op.C, dx_lo)
+                            - sys.mu_in * dz_lo)
+        err1 = df_to_f32(df_add_f32(df_neg(s1), r1))
+        err2 = df_to_f32(df_add_f32(df_neg(s2), r2))
+        err3 = df_to_f32(df_add_f32(df_neg(s3), r3))
         return err1, err2, err3
     if spec.hessian_type == HessianType.Zero:
         Hdx = jnp.zeros_like(dx)
@@ -333,6 +357,27 @@ def primaldual_solve_fn(
     """
     from .chol import ldl_signed_and_inv, ldl_solve_blocked
 
+    n, n_eq = spec.n, spec.n_eq
+    K = _assemble_primaldual_kkt(spec, op, sys, rho)
+    # full_inverse=False + blocked substitution: at primaldual sizes
+    # (n+m can be 1000+, dozens of 16-blocks) the explicit global Lt^-1
+    # compounds f32 error geometrically across block columns -- measured
+    # O(1) forward error on Maros-Meszaros CVXQP3_S, which stalled
+    # refinement and diverged the outer loop. Substitution keeps the
+    # error at backward-stable scale; the explicit inverse remains the
+    # batched small-m Schur engine's fast path (_s_solve).
+    fac = ldl_signed_and_inv(K, full_inverse=False)
+
+    def solve_fn(r1, r2, r3):
+        r = jnp.concatenate([r1, r2, r3])
+        w = ldl_solve_blocked(fac, r)
+        return w[:n], w[n:n + n_eq], w[n + n_eq:]
+
+    return solve_fn
+
+
+def _assemble_primaldual_kkt(spec, op, sys, rho):
+    """Masked quasi-definite KKT matrix shared by the primaldual backends."""
     n, n_eq, n_c = spec.n, spec.n_eq, spec.n_c
     dtype = sys.mask.dtype
     mk = sys.mask
@@ -344,24 +389,46 @@ def primaldual_solve_fn(
         P = op.H + rho * jnp.eye(n, dtype=dtype)
     Cm = mk[:, None] * op.C
     Z = lambda r, c: jnp.zeros((r, c), dtype)
-    K = jnp.block([
+    return jnp.block([
         [P, op.A.T, Cm.T],
         [op.A, -sys.mu_eq * jnp.eye(n_eq, dtype=dtype), Z(n_eq, n_c)],
         [Cm, Z(n_c, n_eq), -sys.mu_in * jnp.eye(n_c, dtype=dtype)],
     ])
-    # full_inverse=False + blocked substitution: at primaldual sizes
-    # (n+m can be 1000+, dozens of 16-blocks) the explicit global Lt^-1
-    # compounds f32 error geometrically across block columns -- measured
-    # O(1) forward error on Maros-Meszaros CVXQP3_S, which stalled
-    # refinement and diverged the outer loop. Substitution keeps the
-    # error at backward-stable scale; the explicit inverse remains the
-    # batched small-m Schur engine's fast path (_s_solve).
-    Lt, sgn, Ltinv = ldl_signed_and_inv(K, full_inverse=False)
 
-    def solve_fn(r1, r2, r3):
+
+def primaldual_df_solve_fn(
+    spec: ProblemSpec,
+    op: KKTOperand,
+    sys: NewtonSystem,
+    rho: jax.Array,
+):
+    """Double-float variant of the primaldual backend: factor the masked
+    quasi-definite KKT with the df signed Cholesky (ops/chol.py
+    ldl_fulldf) and return df correction directions.
+
+    This is the f32/TPU equivalent of the reference factoring in native
+    f64 (linalg/dense/ldlt.hpp, T = double): the signed factor of
+    [[H+rho I, W^T], [W, -D_mu]] has element growth ~ ||W||^2/(rho mu),
+    which no f32-stored factor survives at rho = mu ~ 1e-6 (see
+    FullDFLDL). With it, ill-conditioned f32 HA solves keep the
+    reference's default rho = 1e-6 -- and its ~f64 iteration counts --
+    instead of escalating rho through the retry ladder at ~15x the
+    iterations. Selected by solver.resolve_factor_df.
+    """
+    from .chol import ldl_fulldf, ldl_solve_fulldf
+
+    n, n_eq = spec.n, spec.n_eq
+    K = _assemble_primaldual_kkt(spec, op, sys, rho)
+    fac = ldl_fulldf(K)
+
+    def solve_fn(r1, r2, r3, lows=None):
         r = jnp.concatenate([r1, r2, r3])
-        w = ldl_solve_blocked(Lt, sgn, Ltinv, r)
-        return w[:n], w[n:n + n_eq], w[n + n_eq:]
+        r_lo = (jnp.concatenate(lows) if lows is not None
+                else jnp.zeros_like(r))
+        wh, wl = ldl_solve_fulldf(fac, (r, r_lo))
+        return ((wh[:n], wl[:n]),
+                (wh[n:n + n_eq], wl[n:n + n_eq]),
+                (wh[n + n_eq:], wl[n + n_eq:]))
 
     return solve_fn
 
@@ -427,6 +494,7 @@ def solve_with_refinement(
     r3: jax.Array,
     eps: jax.Array,
     solve_fn=None,
+    df_dw: bool = False,
 ):
     """Iterative refinement around the backend's approximate KKT solve.
 
@@ -437,7 +505,17 @@ def solve_with_refinement(
     defaults to the Schur backend; the matrix-free backend passes a MINRES
     closure (reference ldl_iter_solve_noalias wraps MINRES the same way,
     sparse/solver.hpp:86-174). Returns (dx, dy, dz, final_err).
+
+    df_dw: the backend returns DOUBLE-FLOAT directions (pairs) and the
+    refinement accumulates them in df (collapsing between steps would
+    re-commit the eps_f32 * ||K^-1|| error the df factor avoids); the
+    returned dx/dy/dz are then (hi, lo) pairs. Requires
+    settings.high_accuracy (the df residual) and a pair-returning
+    solve_fn (primaldual_df_solve_fn).
     """
+    if df_dw:
+        return _solve_with_refinement_df(
+            spec, settings, op, sys, rho, r1, r2, r3, eps, solve_fn)
     if solve_fn is None:
         def solve_fn(a, b, c):
             return kkt_apply_inverse(spec, f, op, sys, a, b, c)
@@ -518,3 +596,75 @@ def solve_with_refinement(
     dx, dy, dz, err = best
     its = inner[10]
     return dx, dy, dz, err, its
+
+
+def _solve_with_refinement_df(
+    spec: ProblemSpec,
+    settings: Settings,
+    op: KKTOperand,
+    sys: NewtonSystem,
+    rho: jax.Array,
+    r1: jax.Array,
+    r2: jax.Array,
+    r3: jax.Array,
+    eps: jax.Array,
+    solve_fn,
+):
+    """df-direction refinement (see solve_with_refinement df_dw)."""
+    from .df import df_add
+
+    assert settings.high_accuracy, "df-factor refinement requires HA residuals"
+
+    def resid(dw):
+        (dxh, dxl), (dyh, dyl), (dzh, dzl) = dw
+        e1, e2, e3 = kkt_residual(
+            spec, op, sys, rho, dxh, dyh, dzh, r1, r2, r3,
+            high_accuracy=True, dw_lo=(dxl, dyl, dzl))
+        err = jnp.maximum(jnp.maximum(infty_norm(e1), infty_norm(e2)),
+                          infty_norm(e3))
+        return e1, e2, e3, err
+
+    dw = solve_fn(r1, r2, r3)
+    e1, e2, e3, err = resid(dw)
+
+    def cond(carry):
+        dw, e1, e2, e3, err, it, strikes = carry
+        return jnp.logical_and(
+            err >= eps,
+            jnp.logical_and(it < settings.nb_iterative_refinement,
+                            strikes < 2))
+
+    def body(carry):
+        dw, e1, e2, e3, err, it, strikes = carry
+        c = solve_fn(e1, e2, e3)
+        dw = tuple(df_add(d, ci) for d, ci in zip(dw, c))
+        e1, e2, e3, new_err = resid(dw)
+        strikes = jnp.where(new_err < err, 0, strikes + 1)
+        return dw, e1, e2, e3, new_err, it + 1, strikes
+
+    def body_best(carry):
+        inner, best = carry
+        inner = body(inner)
+        bdw, berr = best
+        new_err = inner[4]
+        better = jnp.logical_and(jnp.isfinite(new_err), new_err < berr)
+        best = (jax.tree.map(
+            lambda n, o: jnp.where(better, n, o), inner[0], bdw),
+            jnp.where(better, new_err, berr))
+        return inner, best
+
+    # non-finite first solve: restart from zero (residual = rhs)
+    first_ok = jnp.isfinite(err)
+    dw = jax.tree.map(lambda a: jnp.where(first_ok, a, jnp.zeros_like(a)), dw)
+    e1 = jnp.where(first_ok, e1, r1)
+    e2 = jnp.where(first_ok, e2, r2)
+    e3 = jnp.where(first_ok, e3, r3)
+    err = jnp.where(first_ok, err, jnp.maximum(
+        jnp.maximum(infty_norm(r1), infty_norm(r2)), infty_norm(r3)))
+
+    carry = ((dw, e1, e2, e3, err,
+              jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32)),
+             (dw, err))
+    inner, best = lax.while_loop(lambda c: cond(c[0]), body_best, carry)
+    (dx, dy, dz), err = best
+    return dx, dy, dz, err, jnp.asarray(0, jnp.int32)

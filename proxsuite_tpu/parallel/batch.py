@@ -148,13 +148,15 @@ def solve_in_parallel(
                     f"batch size {bsz}")
             sharding = NamedSharding(mesh, P(axis_name))
             parts = [jax.device_put(p, sharding) for p in parts]
+        # .ha_finalized(): deliver combined-f64 x/y/z (types.Results)
         if chunk_size is None or bsz <= chunk_size:
-            return _solve_batch_ha_jit(spec, settings, *parts)
+            return _solve_batch_ha_jit(spec, settings, *parts).ha_finalized()
         outs = []
         for lo_i in range(0, bsz, chunk_size):
             chunk = tuple(p[lo_i: lo_i + chunk_size] for p in parts)
             outs.append(_solve_batch_ha_jit(spec, settings, *chunk))
-        return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+        return jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *outs).ha_finalized()
 
     g = jnp.asarray(g)
     dtype = g.dtype
@@ -386,7 +388,7 @@ def solve_in_parallel_ragged(
             results[i] = lane._replace(
                 x=lane.x[:n], y=lane.y[:n_eq], z=z,
                 x_lo=cut(lane.x_lo, n), y_lo=cut(lane.y_lo, n_eq),
-                z_lo=z_lo, se=se, si=si)
+                z_lo=z_lo, se=se, si=si).ha_finalized()
     return results
 
 

@@ -80,6 +80,22 @@ def resolve_backend(spec: ProblemSpec, settings: Settings,
     return "schur"
 
 
+def use_df_factor(spec: ProblemSpec, settings: Settings, dtype) -> bool:
+    """Whether the primaldual backend factors in double-float.
+
+    Honored only where it matters and works: f32 working dtype (f64 has
+    native accuracy), high_accuracy (the df refinement residual is what
+    the df factor contracts against), primaldual backend (the Schur
+    backend's squared conditioning makes df-factoring it pointless --
+    escape to primaldual instead). See types.Settings.factor_df and
+    ops/chol.py FullDFLDL for the numerics.
+    """
+    return (settings.factor_df is True
+            and settings.high_accuracy
+            and jnp.finfo(dtype).bits < 64
+            and resolve_backend(spec, settings, dtype) == "primaldual")
+
+
 def _merit_factor(settings: Settings) -> float:
     """mu_in multiplier in the shifted residuals: alpha_gpdal for GPDAL, 1
     for PDAL (reference solver.hpp:1536-1543, :699-728)."""
@@ -185,20 +201,31 @@ def inner_newton(
 
         # --- masked KKT solve with iterative refinement ---
         backend = resolve_backend(spec, settings, dtype)
+        df_fac = use_df_factor(spec, settings, dtype)
         if backend == "matrixfree":
             sys = kkt.build_masked_system(spec, active, mu_eq, mu_in, dtype)
             solve_fn = kkt.minres_solve_fn(spec, settings, op, sys, rho)
         elif backend == "primaldual":
             sys = kkt.build_masked_system(spec, active, mu_eq, mu_in, dtype)
-            solve_fn = kkt.primaldual_solve_fn(spec, op, sys, rho)
+            solve_fn = (kkt.primaldual_df_solve_fn(spec, op, sys, rho)
+                        if df_fac
+                        else kkt.primaldual_solve_fn(spec, op, sys, rho))
         else:
             sys = kkt.build_newton_system(spec, factors, active, mu_eq, mu_in)
             solve_fn = None
         dx, dy, dzJ, lin_err, step_its = kkt.solve_with_refinement(
             spec, settings, factors, op, sys, rho, rhs_x, rhs_y, rhs_z,
-            eps_int, solve_fn=solve_fn)
+            eps_int, solve_fn=solve_fn, df_dw=df_fac)
+        if df_fac:
+            # df directions: keep the low words through every consumer
+            (dx, dx_l), (dy, dy_l), (dzJ, dzJ_l) = dx, dy, dzJ
+        else:
+            dx_l = dy_l = dzJ_l = None
         # inactive multipliers step to zero (solver.hpp:860-868)
         dz = jnp.where(active, dzJ, -z_v)
+        # (s.z - z_v) is exact (Sterbenz): the pair stays normalized
+        dz_l = (jnp.where(active, dzJ_l, -(s.z_lo + (s.z - z_v)))
+                if df_fac else None)
 
         # --- directional products (df-exact in HA: the incremental state
         # updates below must not pollute the low words with f32 matvec
@@ -207,22 +234,27 @@ def inner_newton(
             from .ops.df import df_add, df_neg, exact_matvec_d, two_prod
             tr = lambda M: None if M is None else M.T
             if spec.hessian_type == HessianType.Dense:
-                Hdx_df = exact_matvec_d(qp.H, qp.H_lo, dx)
+                Hdx_df = exact_matvec_d(qp.H, qp.H_lo, dx, dx_l)
             elif spec.hessian_type == HessianType.Diagonal:
                 Hdx_df = two_prod(jnp.diagonal(qp.H), dx)
                 if qp.H_lo is not None:
                     Hdx_df = df_add_f32(Hdx_df,
                                         jnp.diagonal(qp.H_lo) * dx)
+                if dx_l is not None:
+                    Hdx_df = df_add_f32(Hdx_df, jnp.diagonal(qp.H) * dx_l)
             else:
                 Hdx_df = (jnp.zeros_like(dx), jnp.zeros_like(dx))
-            Adx_df = exact_matvec_d(qp.A, qp.A_lo, dx)
-            ATdy_df = exact_matvec_d(qp.A.T, tr(qp.A_lo), dy)
-            Cdx_df = exact_matvec_d(qp.C, qp.C_lo, dx)
-            CTdz_df = exact_matvec_d(qp.C.T, tr(qp.C_lo), dz)
+            Adx_df = exact_matvec_d(qp.A, qp.A_lo, dx, dx_l)
+            ATdy_df = exact_matvec_d(qp.A.T, tr(qp.A_lo), dy, dy_l)
+            Cdx_df = exact_matvec_d(qp.C, qp.C_lo, dx, dx_l)
+            CTdz_df = exact_matvec_d(qp.C.T, tr(qp.C_lo), dz, dz_l)
             if gpdal:
                 Cdx_df = df_add(
                     Cdx_df,
                     two_prod((settings.alpha_gpdal - 1.0) * mu_in, dz))
+                if dz_l is not None:
+                    Cdx_df = df_add_f32(
+                        Cdx_df, (settings.alpha_gpdal - 1.0) * mu_in * dz_l)
             Hdx = Hdx_df[0] + Hdx_df[1]
             Adx = Adx_df[0] + Adx_df[1]
             ATdy = ATdy_df[0] + ATdy_df[1]
@@ -261,16 +293,23 @@ def inner_newton(
             def dupd(hi, lo, step_df):
                 return _dfa((hi, lo), step_df)
 
-            x_n, x_lo_n = dupd(s.x, s.x_lo, _tp(alpha, dx))
+            def _sc(v, v_l, c):
+                """df of c * direction (keeps the df-factor low word)."""
+                if v_l is None:
+                    return _tp(c, v)
+                return _dfs((v, v_l), c)
+
+            x_n, x_lo_n = dupd(s.x, s.x_lo, _sc(dx, dx_l, alpha))
             cdx_step = _dfs(Cdx_df, alpha)
             ru_n, ru_lo_n = dupd(s.ru, s.ru_lo, cdx_step)
             rl_n, rl_lo_n = dupd(s.rl, s.rl_lo, cdx_step)
-            se_step = _dfs(_dfa(Adx_df, _dfn(_tp(mu_eq, dy))), alpha)
+            se_step = _dfs(_dfa(Adx_df, _dfn(_sc(dy, dy_l, mu_eq))), alpha)
             se_n, se_lo_n = dupd(s.se, s.se_lo, se_step)
-            y_n, y_lo_n = dupd(s.y, s.y_lo, _tp(alpha, dy))
-            z_n, z_lo_n = dupd(s.z, s.z_lo, _tp(alpha, dz))
+            y_n, y_lo_n = dupd(s.y, s.y_lo, _sc(dy, dy_l, alpha))
+            z_n, z_lo_n = dupd(s.z, s.z_lo, _sc(dz, dz_l, alpha))
             dres_step = _dfs(
-                _dfa(_dfa(_dfa(_tp(rho, dx), Hdx_df), ATdy_df), CTdz_df),
+                _dfa(_dfa(_dfa(_sc(dx, dx_l, rho), Hdx_df), ATdy_df),
+                     CTdz_df),
                 alpha)
             dual_res_n, dres_lo_n = dupd(s.dual_res, s.dres_lo, dres_step)
         else:
@@ -489,6 +528,7 @@ def qp_solve_core(
         factors = kkt.factorize(spec, op, rho)
 
     x, y, z = x0, y0, z0
+    df_fac = use_df_factor(spec, settings, dtype)
     if eq_init_guess:
         no_active = jnp.zeros((n_c,), bool)
         if backend == "matrixfree":
@@ -496,15 +536,24 @@ def qp_solve_core(
             solve_fn0 = kkt.minres_solve_fn(spec, settings, op, sys0, rho)
         elif backend == "primaldual":
             sys0 = kkt.build_masked_system(spec, no_active, mu_eq0, mu_in0, dtype)
-            solve_fn0 = kkt.primaldual_solve_fn(spec, op, sys0, rho)
+            solve_fn0 = (kkt.primaldual_df_solve_fn(spec, op, sys0, rho)
+                         if df_fac
+                         else kkt.primaldual_solve_fn(spec, op, sys0, rho))
         else:
             sys0 = kkt.build_newton_system(spec, factors, no_active, mu_eq0, mu_in0)
             solve_fn0 = None
         gx, gy, _, _, init_minres_its = kkt.solve_with_refinement(
             spec, settings, factors, op, sys0, rho,
             -qp.g, qp.b, jnp.zeros((n_c,), dtype),
-            jnp.asarray(1.0, dtype), solve_fn=solve_fn0)
-        x, y = gx, gy
+            jnp.asarray(1.0, dtype), solve_fn=solve_fn0, df_dw=df_fac)
+        if df_fac:
+            # seed the outer df iterate with the full init-guess precision
+            (x, x_lo_init), (y, y_lo_init) = gx, gy
+        else:
+            x, y = gx, gy
+            x_lo_init = y_lo_init = None
+    else:
+        x_lo_init = y_lo_init = None
 
     g_un_norm = infty_norm(qp.g / (qp.delta_x * qp.c))  # dual_feasibility_rhs_2
     # reference floor is min(eps_abs, 1e-9) (solver.hpp:1381); in single
@@ -744,8 +793,10 @@ def qp_solve_core(
 
     init = OuterState(
         x=x, y=y, z=z,
-        x_lo=jnp.zeros((n,), dtype),
-        y_lo=jnp.zeros((n_eq,), dtype),
+        x_lo=(x_lo_init if (ha and x_lo_init is not None)
+              else jnp.zeros((n,), dtype)),
+        y_lo=(y_lo_init if (ha and y_lo_init is not None)
+              else jnp.zeros((n_eq,), dtype)),
         z_lo=jnp.zeros((n_c,), dtype),
         active_up=jnp.zeros((n_c,), bool),
         active_low=jnp.zeros((n_c,), bool),

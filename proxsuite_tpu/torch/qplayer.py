@@ -17,10 +17,25 @@ import functools
 
 import numpy as np
 
-try:
-    import torch
-except ImportError:  # pragma: no cover - torch is optional
-    torch = None
+# torch is imported LAZILY (first QPFunction call), not at module import:
+# torch's OpenMP runtime, allocator hooks, and signal handlers co-resident
+# with XLA's compiler threads for a whole pytest session are a suspected
+# source of rare in-process SIGSEGVs (pytest collection imports every test
+# module -- an eager import here put torch in EVERY suite run's process).
+torch = None
+
+
+def _torch():
+    global torch
+    if torch is None:
+        try:
+            import torch as _t
+        except ImportError:  # pragma: no cover - torch is optional
+            raise ImportError(
+                "proxsuite_tpu.torch.qplayer requires pytorch")
+        torch = _t
+    return torch
+
 
 import jax
 import jax.numpy as jnp
@@ -78,8 +93,7 @@ def QPFunction(
     structural_feasibility: bool = True,
 ):
     """Reference-compatible factory (qplayer.py:12-89)."""
-    if torch is None:
-        raise ImportError("torch is not available in this environment")
+    torch = _torch()  # lazy: see module docstring
 
     settings = Settings(
         eps_abs=eps, max_iter=maxIter,

@@ -180,6 +180,23 @@ class Settings:
     # "" = Automatic: primaldual for Zero-Hessian (LPs), schur otherwise
     # (TPU cost model: schur factors m^2 vs primaldual (n+m)^2 per step).
     kkt_backend: str = ""
+    # Double-float KKT factorization (TPU f32 only; the f64 CPU path never
+    # needs it). None = automatic: ON for f32 + high_accuracy + primaldual
+    # backend when rho < 1e-5 (resolved by the wrapper, which knows rho as
+    # a host value). The signed factor of the quasi-definite KKT has
+    # element growth ~ ||W||^2/(rho mu); at rho = mu ~ 1e-6 no f32-stored
+    # factor retains refinement contraction (ops/chol.py FullDFLDL), so
+    # the factor itself runs in double-float -- the TPU equivalent of the
+    # reference factoring in f64. Keeps the reference's default rho=1e-6
+    # (and so its iteration counts) on ill-conditioned problems instead of
+    # escalating rho through the retry ladder.
+    factor_df: Optional[bool] = None
+    # f32 robustness retry ladder (wrapper._maybe_backend_fallback): on
+    # MAX_ITER_REACHED, re-solve with escalated rho (1e-4, then 1e-3).
+    # Last-resort behind factor_df; False disables all rho retries (a
+    # pinned backend is still honored -- the ladder never switches
+    # backend, it only raises rho).
+    rho_retry_ladder: bool = True
     primal_infeasibility_solving: bool = False
     frequence_infeasibility_check: int = 1
     default_H_eigenvalue_estimate: float = 0.0
@@ -289,6 +306,22 @@ class Results(NamedTuple):
         v = np.asarray(self.z, np.float64)
         return v if self.z_lo is None else v + np.asarray(self.z_lo,
                                                           np.float64)
+
+    def ha_finalized(self) -> "Results":
+        """Combine the double-float words into user-facing f64 arrays.
+
+        A status of PROXQP_SOLVED certifies residuals of the full
+        double-float iterate; the f32 high word ALONE carries a
+        representation error of O(|x| * eps_f32) per component, which
+        propagates through ||H|| into a dual residual that can exceed
+        eps_abs by orders of magnitude (observed: CVXQP1_S, 1.7e-4 at
+        eps=1e-6). The user-facing contract therefore delivers x/y/z as
+        the combined f64 solution whenever low words exist."""
+        if self.x_lo is None:
+            return self
+        return self._replace(
+            x=self.x_full(), y=self.y_full(), z=self.z_full(),
+            x_lo=None, y_lo=None, z_lo=None)
 
 
 def infty_norm(v: jax.Array) -> jax.Array:

@@ -1,18 +1,25 @@
 """Persistent-compile-cache setup shared by tests, bench, and scripts.
 
-Two host-specific hazards are handled here:
+Host-specific hazards handled here:
 
 * XLA:CPU AOT executables are machine-specific: a cache entry written on
   a host with a different CPU feature set loads with mismatched-feature
   warnings and produces WRONG NUMERICS (observed: a cached avx512-host
   executable made a solved LP report MAX_ITER). CPU cache dirs are
   therefore keyed by a hash of /proc/cpuinfo flags.
-* The optional ``zstandard`` C extension segfaults on this host inside
-  JAX's persistent-cache write (jax/_src/compilation_cache.py
-  compress_executable, reproduced twice mid-suite). JAX falls back to
-  zlib when zstandard is unavailable, so we pin the zlib path. The cache
-  key includes the compressor name, so stale zstd entries are ignored,
-  never misread.
+* **XLA:CPU executable (de)serialization segfaults on this host.** The
+  round-4 zlib pin assumed the crash was in the zstandard compressor; it
+  was not — crash sites are ``executable.serialize()``
+  (jax/_src/compilation_cache.py put path) and
+  ``backend.deserialize_executable(...)`` (get path), i.e. inside XLA's
+  own CPU AOT serializer, reproduced on both multi-device and
+  single-device executables. A write-path crash can additionally leave a
+  truncated entry that then crashes every later read of that key. There
+  is no in-process mitigation for a C++ segfault, so the **CPU test
+  suite runs with the persistent cache DISABLED by default**
+  (tests/conftest.py); opt back in with PROXSUITE_TPU_COMPILE_CACHE=1.
+  The TPU (axon) path is unaffected — serialization happens on the
+  worker — and bench/scripts keep the cache on.
 
 Set JAX_ENABLE_COMPILATION_CACHE=0/false to disable caching entirely.
 """

@@ -248,6 +248,28 @@ class QP:
     # ------------------------------------------------------------ solve
     _compiled_keys = set()   # executables already built this process
 
+    def _resolved_settings(self) -> Settings:
+        """Resolve factor_df=None -> bool (the jitted solver needs a
+        static flag; only the wrapper knows rho as a host value).
+
+        Automatic rule: double-float factorization ON for f32 +
+        high_accuracy + primaldual backend when rho < 1e-5 -- exactly the
+        regime where the f32 signed factor's element growth
+        (~ ||W||^2/(rho mu)) defeats iterative refinement (ops/chol.py
+        FullDFLDL). This is the conditioning-aware answer to the round-4
+        rho-retry ladder: keep the reference's rho (and iteration counts),
+        factor accurately instead of escalating rho.
+        """
+        s = self.settings
+        if s.factor_df is not None:
+            return s
+        f32 = jnp.finfo(self.dtype).bits < 64
+        from .solver import resolve_backend
+        auto = (f32 and s.high_accuracy
+                and resolve_backend(self.spec, s, self.dtype) == "primaldual"
+                and float(self._rho) < 1e-5)
+        return s.replace(factor_df=auto)
+
     def _timing_key(self):
         return (self.spec, self.settings, self.dtype)
 
@@ -281,12 +303,13 @@ class QP:
         if jnp.asarray(z0).shape[0] == sp.n_in and sp.box_constraints:
             z0 = jnp.concatenate([jnp.asarray(z0, dt), jnp.zeros((sp.n,), dt)])
 
+        st = self._resolved_settings()
         self.results = _solve_jit(
-            self.spec, self.settings, self._scaled,
+            self.spec, st, self._scaled,
             jnp.asarray(x0, dt), jnp.asarray(y0, dt), jnp.asarray(z0, dt),
             jnp.asarray(self._rho, dt), jnp.asarray(self._mu_eq, dt),
             jnp.asarray(self._mu_in, dt))
-        self._maybe_backend_fallback(x0, y0, z0)
+        self._maybe_backend_fallback(st, x0, y0, z0)
         self._warm = None
         if self.settings.verbose:
             # solver statistics banner (reference solver.hpp:1789-1834)
@@ -317,7 +340,7 @@ class QP:
                 QP._compiled_keys.add(key)
                 t1 = _time.perf_counter()
                 self.results = _solve_jit(
-                    self.spec, self.settings, self._scaled,
+                    self.spec, st, self._scaled,
                     jnp.asarray(x0, dt), jnp.asarray(y0, dt),
                     jnp.asarray(z0, dt),
                     jnp.asarray(self._rho, dt), jnp.asarray(self._mu_eq, dt),
@@ -334,9 +357,12 @@ class QP:
                     setup_time=setup_us, solve_time=solve_us,
                     run_time=setup_us + solve_us,
                     compile_time=compile_us))
+        # high accuracy: deliver the combined f64 solution so the reported
+        # status certifies res.x/y/z themselves (types.Results.ha_finalized)
+        self.results = self.results.ha_finalized()
         return self.results
 
-    def _maybe_backend_fallback(self, x0, y0, z0):
+    def _maybe_backend_fallback(self, st, x0, y0, z0):
         """Robust-backend retry when the Automatic Schur choice fails.
 
         The Schur form squares the KKT conditioning through its mu^-1
@@ -361,39 +387,45 @@ class QP:
             return
         dt = self.dtype
         f32 = jnp.finfo(dt).bits < 64
-        pinned = bool(self.settings.kkt_backend)
+        pinned = bool(st.kkt_backend)
+
+        def _with_df(fb, rho):
+            """Re-resolve factor_df for a retry config (the automatic rule
+            depends on backend and rho, both of which a retry changes)."""
+            if self.settings.factor_df is not None:
+                return fb
+            return fb.replace(factor_df=(
+                f32 and fb.high_accuracy and rho < 1e-5
+                and resolve_backend(self.spec, fb, dt) == "primaldual"))
+
         attempts = []
         if (not pinned
-                and resolve_backend(self.spec, self.settings, self.dtype)
-                == "schur"):
-            attempts.append(("primaldual fallback",
-                             self.settings.replace(kkt_backend="primaldual"),
-                             self._rho))
-        retry_backend = (self.settings.kkt_backend if pinned
-                         else "primaldual")
+                and resolve_backend(self.spec, st, self.dtype) == "schur"):
+            fb0 = _with_df(st.replace(kkt_backend="primaldual"),
+                           float(self._rho))
+            attempts.append(("primaldual fallback", fb0, self._rho))
+        retry_backend = st.kkt_backend if pinned else "primaldual"
         if retry_backend == "matrixfree":
-            return  # no factor to regularize; MINRES has its own telemetry
-        if f32:
-            # rho-escalated robust retry: a problem whose Ruiz-scaled
-            # H + rho I is numerically indefinite AT f32 (accumulated
-            # factorization error ~ n*eps*||H|| exceeds rho = 1e-6, e.g.
-            # Maros-Meszaros CVXQP1_S) defeats BOTH factorizing backends:
-            # the pivots get floored (ops/chol.py) and refinement cannot
-            # contract. rho = 1e-4 bounds cond(P) so the f32 factor
-            # regains contraction; the proximal outer loop absorbs the
-            # larger rho with extra (cheap) iterations. Measured:
-            # CVXQP1_S f32+HA diverges at rho=1e-6, solves in 231 iters
-            # at rho=1e-4 with external f64 KKT < 1e-6.
-            # a pinned backend is respected: the retry re-runs the SAME
-            # backend with more proximal regularization, it never switches.
-            # The ladder exists because the sweet spot is problem-dependent:
-            # CVXQP1_S converges at 1e-4 while CVXQP3_S needs 1e-3 (its
-            # primal residual stalls at ~1e-4 with smaller rho).
+            retry_backend = None  # no factor to regularize
+        if f32 and st.rho_retry_ladder and retry_backend is not None:
+            # rho-escalated LAST-RESORT retry. Primary defense is now the
+            # double-float factorization (factor_df, ops/chol.py
+            # FullDFLDL), which keeps rho = 1e-6 solvable in f32; the
+            # ladder remains for problems that still hit MAX_ITER (e.g.
+            # genuinely slow active-set discovery at f32 noise floors).
+            # A pinned backend is respected: the retry re-runs the SAME
+            # backend with more proximal regularization, never switching.
+            # Disable entirely with settings.rho_retry_ladder = False.
+            seen_rho = {float(self._rho)}
             for rho_retry in (1e-4, 1e-3):
+                rho_eff = max(float(self._rho), rho_retry)
+                if rho_eff in seen_rho:
+                    continue  # identical re-run would waste a full solve
+                seen_rho.add(rho_eff)
                 attempts.append(
-                    (f"rho={rho_retry:g} {retry_backend} retry",
-                     self.settings.replace(kkt_backend=retry_backend),
-                     max(float(self._rho), rho_retry)))
+                    (f"rho={rho_eff:g} {retry_backend} retry",
+                     _with_df(st.replace(kkt_backend=retry_backend),
+                              rho_eff), rho_eff))
         for label, fb, rho in attempts:
             res2 = _solve_jit(
                 self.spec, fb, self._scaled,

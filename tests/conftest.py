@@ -22,13 +22,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-# Persistent compilation cache: the solver compiles one executable per
-# (shape, settings) pair (~20s each); cache makes re-runs instant. See
-# proxsuite_tpu/utils/compile_cache.py for the machine-keying and the
-# zstandard-segfault guard.
-from proxsuite_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+# Persistent compilation cache: DISABLED by default for the CPU suite.
+# XLA:CPU executable (de)serialization segfaults on this host (see
+# proxsuite_tpu/utils/compile_cache.py for the crash sites); a mid-suite
+# segfault is strictly worse than paying the compiles. Re-enable with
+# PROXSUITE_TPU_COMPILE_CACHE=1 on hosts where the serializer is sound.
+if os.environ.get("PROXSUITE_TPU_COMPILE_CACHE", "") == "1":
+    from proxsuite_tpu.utils.compile_cache import enable_compile_cache
 
-enable_compile_cache(
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                 ".jax_compile_cache"),
-    per_machine=True)
+    enable_compile_cache(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                     ".jax_compile_cache"),
+        per_machine=True)
+else:
+    jax.config.update("jax_enable_compilation_cache", False)

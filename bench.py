@@ -41,15 +41,30 @@ BASELINE_CACHE = os.path.join(REPO, "BASELINE_CPU.json")
 QPS_BIN = "/tmp/bench_qps.bin"
 
 
-def measure_reference_baseline(eps_values=(1e-4, 1e-9)):
+def measure_reference_baseline(eps_values=(1e-4, 1e-9), n_runs=5,
+                               force=False):
     """ms/QP of the real reference ProxQP, one core, identical problems.
+
+    Measurement protocol (round-4 finding: single-run numbers swung +-23%
+    between identical invocations on this shared host): each eps is
+    measured `n_runs` times; the recorded ms_per_qp is the MEDIAN and the
+    artifact carries every run plus min/max dispersion, so any speedup
+    multiplier derived from it has a visible error bar. By default the
+    COMMITTED artifact is reused when it already carries this protocol
+    (stable denominator across rounds); pass force=True (bench.py
+    --remeasure-baseline) to re-measure.
 
     Builds native/ref_baseline/bench_qps on demand; falls back to the
     committed BASELINE_CPU.json if the toolchain is unavailable.
     """
-    bdir = os.path.join(REPO, "native", "ref_baseline")
-    exe = os.path.join(bdir, "bench_qps")
     try:
+        if not force and os.path.exists(BASELINE_CACHE):
+            with open(BASELINE_CACHE) as f:
+                cached = json.load(f)
+            if cached.get("protocol", {}).get("n_runs", 0) >= n_runs:
+                return cached
+        bdir = os.path.join(REPO, "native", "ref_baseline")
+        exe = os.path.join(bdir, "bench_qps")
         if not os.path.exists(exe):
             subprocess.run(["bash", "build.sh"], cwd=bdir, check=True,
                            capture_output=True, timeout=600)
@@ -58,9 +73,27 @@ def measure_reference_baseline(eps_values=(1e-4, 1e-9)):
             dump(generate(), QPS_BIN)
         out = {}
         for eps in eps_values:
-            r = subprocess.run([exe, QPS_BIN, str(eps), "0"], check=True,
-                               capture_output=True, text=True, timeout=600)
-            out[f"eps_{eps:g}"] = json.loads(r.stdout.strip())
+            runs = []
+            for _ in range(n_runs):
+                r = subprocess.run([exe, QPS_BIN, str(eps), "0"],
+                                   check=True, capture_output=True,
+                                   text=True, timeout=600)
+                runs.append(json.loads(r.stdout.strip()))
+            per_qp = sorted(x["ms_per_qp"] for x in runs)
+            med = per_qp[len(per_qp) // 2]
+            rec = dict(runs[0])
+            rec["ms_per_qp"] = med
+            rec["total_ms"] = med * rec["B"]
+            rec["ms_per_qp_runs"] = per_qp
+            rec["ms_per_qp_min"] = per_qp[0]
+            rec["ms_per_qp_max"] = per_qp[-1]
+            rec["dispersion_pct"] = round(
+                100.0 * (per_qp[-1] - per_qp[0]) / med, 1)
+            out[f"eps_{eps:g}"] = rec
+        out["protocol"] = {
+            "n_runs": n_runs,
+            "statistic": "median of n_runs serial invocations",
+        }
         out["provenance"] = (
             "reference proxsuite v0.7.2 headers (read-only checkout), "
             "g++ -O3 -march=x86-64-v3, Eigen from the image's tensorflow "
@@ -208,7 +241,8 @@ def run_northstar(total=100_000, chunk=4096, dtype=jnp.float32, eps=1e-4):
 
 def main():
     eps = 1e-4
-    baseline = measure_reference_baseline()
+    force = "--remeasure-baseline" in sys.argv
+    baseline = measure_reference_baseline(force=force)
     t1k, solved1k, max_hit, mean_iter = run(B=1024, eps=eps)
     tns, n_ns, solved_ns = run_northstar()
     per_qp_ns = tns / n_ns

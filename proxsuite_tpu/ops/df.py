@@ -82,18 +82,29 @@ def df_abs_max(x: Pair) -> jax.Array:
     return jnp.max(v) if v.size else jnp.zeros((), x[0].dtype)
 
 
-_DEKKER = 4097.0    # 2^12 + 1 for f32 Veltkamp splitting
-
-
 def _veltkamp(a: jax.Array) -> Pair:
-    """Split a into 12-bit halves: a = a_hi + a_lo exactly."""
-    c = _DEKKER * a
-    hi = c - (c - a)
+    """Split a into 12-bit halves: a = a_hi + a_lo exactly.
+
+    Implemented by MASKING the low 12 mantissa bits (bitcast + integer
+    and), NOT the classic Dekker multiply trick (c = 4097*a;
+    hi = c - (c - a)): inside large jitted bodies XLA:CPU contracts the
+    multiply-subtract chains into FMAs, which silently BREAKS the Dekker
+    split -- measured: a jitted _ldl_block_fulldf lost the entire df
+    accuracy (4e-15 eager -> 3e-8 jitted) through exactly this. Bit
+    masking is exact by construction and immune to any float rewrite.
+    The split keeps 12 leading mantissa bits (incl. the implicit one),
+    so hi*hi products are exact in f32 (24-bit significand), and
+    |lo| <= ulp(hi)*2^11 as in the Dekker split."""
+    ai = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(
+        ai & jnp.uint32(0xFFFFF000), a.dtype)
     return hi, a - hi
 
 
 def two_prod(a: jax.Array, b: jax.Array) -> Pair:
-    """Error-free product: a * b = p + e exactly (Dekker; no FMA on VPU)."""
+    """Error-free product: a * b = p + e exactly (split products; the
+    component products and their combination with -p are all exactly
+    representable, so FMA contraction cannot change the result)."""
     p = a * b
     a1, a2 = _veltkamp(a)
     b1, b2 = _veltkamp(b)
@@ -258,15 +269,38 @@ def df_matmul(A: Pair, B: Pair) -> Pair:
 
 
 def df_rsqrt(x: Pair) -> Pair:
-    """rsqrt of a positive df value to df precision (one df Newton step:
-    r' = r * (3 - x r^2) / 2 starting from the f32 rsqrt)."""
+    """rsqrt of a positive df value to df precision via Newton steps in
+    DELTA form: delta = 1 - x r^2,  r' = r + r*(delta/2 + 3 delta^2/8).
+
+    Why the delta form and two steps (hard-won, round 5):
+    * The textbook form r' = r (3 - x r^2) / 2 needs an error-free
+      two_sum against the CONSTANT 3.0 -- and inside fused jitted bodies
+      XLA:CPU simplifies that two_sum's error term to zero (measured:
+      t0[1] == 0 under jit, correct eagerly), silently collapsing the
+      whole df factorization to f32 accuracy. In the delta form the
+      cancelling subtraction 1 - x r^2 is EXACT by Sterbenz (x r^2 in
+      [0.5, 2]), so no constant-operand EFT exists to be broken.
+    * Two steps, not one: fused XLA:CPU codegen lowers rsqrt to the raw
+      hardware approximation (~2^-12 relative; the eager op-by-op kernel
+      refines to ~eps_f32). From 2^-12, one step reaches ~1e-7; two
+      reach ~1e-14 from either start. The 3 delta^2/8 term matters on
+      the first step for the same reason.
+    """
     r = jax.lax.rsqrt(x[0])
-    r2 = two_prod(r, r)
-    xr2 = df_mul(x, r2)
-    t = two_sum(jnp.full_like(xr2[0], 3.0), -xr2[0])
-    t = (t[0], t[1] - xr2[1])
-    half_r = df_scale(t, r)
-    return df_scale(half_r, jnp.full_like(r, 0.5))
+    r_df = (r, jnp.zeros_like(r))
+    for _ in range(2):
+        r2 = df_mul(r_df, r_df)
+        xr2 = df_mul(x, r2)
+        # delta = 1 - x r^2: the hi subtraction is exact (Sterbenz)
+        delta = (1.0 - xr2[0], -xr2[1])
+        # corr = delta/2 + 3 delta^2/8 (second order keeps step-1 df-clean)
+        d2 = df_mul(delta, delta)
+        corr = df_add(df_scale(delta, jnp.full_like(r, 0.5)),
+                      df_scale(d2, jnp.full_like(r, 0.375)))
+        # r' = r + r * corr
+        r_corr = df_mul(r_df, corr)
+        r_df = df_add(r_df, r_corr)
+    return r_df
 
 
 def exact_matvec_d(A, A_lo, x, x_lo=None) -> Pair:

@@ -66,6 +66,17 @@ def _select_backend(settings: Settings, H, A, C,
     if settings.sparse_backend == SparseBackend.MatrixFree:
         return "matrixfree"
     if settings.sparse_backend == SparseBackend.SparseCholesky:
+        if n + n_eq + n_in > AUTO_MATRIXFREE_DIM:
+            # documented divergence from the reference (docs/2-api.md):
+            # SparseCholesky here means densify + dense Schur, O(dim^2)
+            # memory -- say so once instead of silently allocating GBs
+            import warnings
+            warnings.warn(
+                f"SparseBackend.SparseCholesky densifies: the "
+                f"{n + n_eq + n_in}-dim KKT becomes dense O(dim^2) "
+                f"storage (no sparse LDL^T kernel on TPU by design; "
+                f"see docs/2-api.md). Use SparseBackend.MatrixFree for "
+                f"O(nnz) memory.", stacklevel=3)
         return "schur"
     big = n + n_eq + n_in > AUTO_MATRIXFREE_DIM
     dens = max(sp.density(M) for M in (H, A, C) if M is not None
@@ -176,7 +187,19 @@ class QP(_wrapper.QP):
         backend = _select_backend(
             self._pending_settings, H, A, C,
             self.spec.n, self.spec.n_eq, self.spec.n_in)
-        self.settings = self._pending_settings.replace(kkt_backend=backend)
+        if backend == "matrixfree":
+            self.settings = self._pending_settings.replace(
+                kkt_backend="matrixfree")
+        elif self._pending_settings.kkt_backend:
+            self.settings = self._pending_settings  # user pin respected
+        else:
+            # densified path: leave kkt_backend Automatic so the dense
+            # core's full robustness chain stays available (schur first,
+            # primaldual fallback on MAX_ITER) -- pinning "schur" here
+            # disabled the fallback and ground e.g. Maros-Meszaros QCAPRI
+            # to max_iter through the sparse API while the dense API
+            # solved it in 461 iterations
+            self.settings = self._pending_settings
         if backend != "matrixfree":
             return super().init(
                 H=_densify(H), g=g, A=_densify(A), b=b, C=_densify(C),

@@ -142,9 +142,18 @@ def main():
                 # Automatic policy picks for every <=1000-dim problem
                 # anyway, sparse.py:50) and RECORD which backend produced
                 # the result.
+                # Tight budget (round-5 finding): an ill-conditioned
+                # problem (QCAPRI) can burn HOURS inside a nominally
+                # "bounded" attempt -- each inner Newton step is up to
+                # (1 + nb_iterative_refinement) full MINRES solves of
+                # 2(n+m) matvecs, so the budget must bound outer x inner
+                # x refinement together. Problems the matrix-free path
+                # genuinely solves at 2e-8 finish well inside this
+                # (all 36 observed passes: <= 131 total inner iters).
                 mf_settings = settings.replace(
                     sparse_backend=SparseBackend.MatrixFree,
-                    max_iter=150, max_iter_in=150)
+                    max_iter=60, max_iter_in=60, inner_stall_iters=15,
+                    nb_iterative_refinement=3)
                 qp = pt_sparse.QP(
                     Hp.shape[0], Ap.shape[0], Cp.shape[0],
                     settings=mf_settings)

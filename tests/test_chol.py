@@ -143,3 +143,28 @@ def test_rho_retry_ladder_flag():
     assert int(res.info.status) == int(
         pt.QPSolverOutput.PROXQP_MAX_ITER_REACHED)
     assert float(res.info.rho) == pytest.approx(1e-6)  # never escalated
+
+
+def test_fulldf_jit_matches_eager():
+    """Regression for the round-5 jit-EFT hazard: fused XLA:CPU codegen
+    broke df_rsqrt (constant-operand two_sum simplified away + raw
+    hardware rsqrt), collapsing the jitted df factorization to f32
+    accuracy while eager runs stayed df-accurate. Assert the JITTED
+    factor reconstructs K to df-level relative error on a trailing-style
+    block with 1e6 magnitudes."""
+    from proxsuite_tpu.ops.chol import _ldl_block_fulldf
+
+    rng = np.random.default_rng(0)
+    bs, mu = 16, 1e-3
+    G = rng.standard_normal((bs, bs))
+    G = (G @ G.T) * 1e6
+    T64 = -(mu * np.eye(bs) + G)
+    Th = np.asarray(T64, np.float32)
+    Tl = np.asarray(T64 - np.asarray(Th, np.float64), np.float32)
+    eps_floor = jnp.asarray(1e-10, jnp.float32)
+    for fn in (_ldl_block_fulldf, jax.jit(_ldl_block_fulldf)):
+        Lh, Ll, sd, _, _ = fn(jnp.asarray(Th), jnp.asarray(Tl), eps_floor)
+        L = np.asarray(Lh, np.float64) + np.asarray(Ll, np.float64)
+        s = np.asarray(sd, np.float64)
+        rel = np.abs((L * s[None, :]) @ L.T - T64).max() / np.abs(T64).max()
+        assert rel < 1e-12, rel

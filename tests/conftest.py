@@ -7,6 +7,24 @@ the 1e-9 KKT-residual oracle applies; multi-device sharding tests use the
 import os
 import sys
 
+# Unlimited stack BEFORE jax loads: XLA:CPU's compiler recurses deeply on
+# the biggest solver programs and its worker threads inherit RLIMIT_STACK
+# (glibc default pthread stack = the soft limit, 8 MB here). The rare
+# mid-suite SIGSEGVs all landed inside backend_compile_and_load /
+# executable (de)serialization -- the classic stack-overflow signature of
+# LLVM recursion on large functions. The hard limit is RLIM_INFINITY on
+# this host, so raising is always permitted.
+# A large FINITE limit, not RLIM_INFINITY: glibc sizes new pthread stacks
+# from the soft limit only when it is finite (infinite falls back to the
+# small arch default, the opposite of what we want).
+try:
+    import resource
+
+    resource.setrlimit(resource.RLIMIT_STACK,
+                       (512 << 20, resource.RLIM_INFINITY))
+except Exception:  # pragma: no cover - platform without resource
+    pass
+
 # NOTE: this environment force-sets JAX_PLATFORMS=axon at import time (env
 # prefixes are overridden), so the only reliable CPU pin is
 # jax.config.update("jax_platforms", "cpu") below, before first backend use.

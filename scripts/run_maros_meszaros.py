@@ -182,10 +182,48 @@ def main():
             # worker process crashed or restarted") and come back after a
             # couple of minutes; retry instead of burning the rest of the
             # corpus as instant failures.
+            def _solve_once():
+                if not args.tpu:
+                    return qp.solve(), None
+                # CHUNKED solve (round-5 finding): the axon runtime kills
+                # the worker when a single device execution runs too long
+                # (QCAPRI/QE226/QFORPLAN: thousands of f32 inner
+                # iterations in ONE while_loop program -> reproducible
+                # "worker crashed"). Bound each call to `chunk` OUTER
+                # iterations and continue across calls with a warm start,
+                # carrying mu so the BCL schedule doesn't restart. The
+                # rho ladder is off (factor_df covers conditioning; a
+                # per-chunk MAX_ITER would otherwise trigger 2 wasted
+                # full re-solves per chunk).
+                # Per-call work bound: max_iter AND max_iter_in together
+                # cap one device execution at ~chunk*max_iter_in inner
+                # iterations (~1 min at the largest shapes). Longest
+                # observed-good single execution on this worker is ~75s;
+                # unbounded QCAPRI-class executions reproducibly kill it.
+                chunk, total_outer = 6, 1080
+                base = qp.settings.replace(max_iter=chunk, max_iter_in=30,
+                                           inner_stall_iters=15,
+                                           rho_retry_ladder=False)
+                qp.settings = base
+                r = qp.solve()
+                iters = int(r.info.iter)
+                max_it = int(pt.QPSolverOutput.PROXQP_MAX_ITER_REACHED)
+                n_more = total_outer // chunk - 1
+                for _ in range(n_more):
+                    if int(r.info.status) != max_it:
+                        break
+                    qp._mu_eq = float(r.info.mu_eq)
+                    qp._mu_in = float(r.info.mu_in)
+                    qp.settings = base.replace(
+                        initial_guess=InitialGuess.WARM_START_WITH_PREVIOUS_RESULT)
+                    r = qp.solve()
+                    iters += int(r.info.iter)
+                return r, iters
+
             for attempt in range(4):
                 try:
                     t0 = time.perf_counter()
-                    res = qp.solve()
+                    res, chunked_iters = _solve_once()
                     jax.block_until_ready(res.x)
                     t = time.perf_counter() - t0
                     break
@@ -227,7 +265,8 @@ def main():
             else:
                 pri, dua = kkt_residuals(orig, x, y, z)
             status = int(res.info.status)
-            iters = int(res.info.iter)
+            iters = (chunked_iters if chunked_iters is not None
+                     else int(res.info.iter))
             # warm resolve (CPU contract only; 0 iterations expected)
             warm_iters = None
             if not args.tpu:
@@ -252,8 +291,10 @@ def main():
                 sys.exit(2)
         n_pass += ok
         t_total += t
-        rec = dict(name=name, n=n, n_eq=n_eq, n_in=n_in, ok=ok,
-                   status=status, iter=iters, pri=float(pri),
+        # bool(): the and-chain can return a numpy bool (e.g. a SOLVED row
+        # whose external residual fails), which json refuses to serialize
+        rec = dict(name=name, n=n, n_eq=n_eq, n_in=n_in, ok=bool(ok),
+                   status=status, iter=int(iters), pri=float(pri),
                    dua=float(dua), time_s=round(t, 3),
                    warm_iters=warm_iters)
         if args.sparse:

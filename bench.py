@@ -211,12 +211,18 @@ def run_ha(B=1024, eps=1e-8, iters=3):
     return min(times), solved, float(jnp.mean(res.info.iter)), worst
 
 
-def run_northstar(total=100_000, chunk=4096, dtype=jnp.float32, eps=1e-4):
+def run_northstar(total=100_000, chunk=1024, dtype=jnp.float32, eps=1e-4):
     """Stream `total` QPs through the chip in chunks (north-star metric).
 
     Each chunk reuses the base problem set with a per-chunk gradient
     offset (distinct QPs of identical difficulty); timing covers every
     chunk end-to-end including host sync.
+
+    chunk=1024, not 4096 (round-5 sweep, docs/4-performance.md): per-QP
+    time is flat from B=512 to 1024 (0.146 ms) but degrades ~30% at
+    B>=2048 (0.19 ms -- HBM working-set pressure: the per-lane Gram
+    blocks alone are ~4 GB at B=4096). The 100k stream at chunk=1024
+    sustains ~6.8k QPs/s vs ~5.1k at the old 4096.
     """
     from proxsuite_tpu.parallel.batch import _solve_batch_jit
     from proxsuite_tpu.types import ProblemSpec, Settings
